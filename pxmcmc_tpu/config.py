@@ -1,0 +1,43 @@
+"""Global configuration: dtype resolution and precompute cache location.
+
+The reference implementation (``/root/reference/pxmcmc``) is float64/complex128
+numpy on CPU.  On TPU the native compute dtype is float32 (bfloat16 on the MXU
+where accuracy allows), so every public entry point here resolves dtypes
+through this module: float64 when ``jax_enable_x64`` is on (CPU testing),
+float32 otherwise (TPU production).
+"""
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+#: Directory used to cache expensive host-side precomputes (Wigner matrices,
+#: forward-SHT pseudo-inverses).  Keyed by (kind, L, spin, ...).
+_CACHE_DIR = os.environ.get(
+    "PXMCMC_TPU_CACHE", os.path.join(os.path.dirname(__file__), os.pardir, ".cache")
+)
+
+
+def cache_dir() -> str:
+    d = os.path.abspath(_CACHE_DIR)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def x64_enabled() -> bool:
+    return bool(jax.config.jax_enable_x64)
+
+
+def real_dtype():
+    """Default floating dtype for device arrays."""
+    return jnp.float64 if x64_enabled() else jnp.float32
+
+
+def complex_dtype():
+    return jnp.complex128 if x64_enabled() else jnp.complex64
+
+
+def is_complex(x) -> bool:
+    return jnp.issubdtype(jnp.asarray(x).dtype, jnp.complexfloating)

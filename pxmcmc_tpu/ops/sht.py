@@ -1,0 +1,257 @@
+r"""Spin spherical harmonic transforms on MW sampling as batched matmuls.
+
+TPU-native replacement for SSHT (the C library the reference reaches through
+``pyssht.forward/inverse[_adjoint]`` at
+``/root/reference/pxmcmc/measurements.py:223-239``,
+``/root/reference/pxmcmc/plotting.py:189-193`` and the tests).
+
+Design
+------
+A spin-s harmonic coefficient vector ``flm`` (length L^2, indexed
+``ind = l^2 + l + m``) maps to an MW pixel map ``f`` of shape (L, 2L-1) via
+
+    f(theta_t, phi_p) = sum_m [ sum_l s_lambda_{lm}(theta_t) f_{lm} ] e^{i m phi_p}
+
+i.e. per-m *real* (L x L) matmuls along theta (MXU) followed by an FFT along
+phi (XLA FFT).  The forward (analysis) transform runs the FFT the other way
+and applies per-m left inverses ``Q_m = pinv(Lambda_m)`` so that
+``forward(inverse(flm)) == flm`` holds *exactly* on bandlimited signals — the
+same guarantee the MW sampling theorem gives SSHT.  (SSHT realises a specific
+left inverse through Fourier-domain quadrature; we realise the least-squares
+left inverse through precomputed pseudo-inverses.  Both are exact on the
+bandlimited subspace; they differ only in how out-of-band content — e.g.
+pixel noise — is projected, and each is paired with its own exact adjoint so
+all operator dot-tests hold.)
+
+Adjoints are exact conjugate-transposes of the linear maps above and are what
+the gradient of the Gaussian data fidelity flows through
+(`/root/reference/pxmcmc/forward.py:66-72`).
+
+All matrices are precomputed once (host, float64, cached on disk) and stored
+on device in the runtime dtype.  Batch (chain) dimensions lead and flow
+through `vmap`/`einsum` untouched.
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import cache_dir, complex_dtype, real_dtype
+from . import sampling
+from .wigner import spin_lambda_table
+
+__all__ = [
+    "SHTBasis",
+    "get_basis",
+    "elm2ind",
+    "ind2elm",
+    "inverse",
+    "forward",
+    "inverse_adjoint",
+    "forward_adjoint",
+]
+
+
+def elm2ind(el: int, m: int) -> int:
+    """Harmonic index ind = l^2 + l + m (pyssht.elm2ind convention)."""
+    return el * el + el + m
+
+
+def ind2elm(ind: int) -> tuple[int, int]:
+    el = int(np.floor(np.sqrt(ind)))
+    return el, ind - el * el - el
+
+
+def _precompute(L: int, spin: int) -> tuple[np.ndarray, np.ndarray]:
+    """Host-side f64 tables: lam[mi, t, l] and its per-m pseudo-inverse q[mi, l, t]."""
+    thetas, _ = sampling.sample_positions(L)
+    lam = spin_lambda_table(L, spin, thetas)  # (2L-1, L, L)
+    q = np.zeros((2 * L - 1, L, L), dtype=np.float64)
+    for mi in range(2 * L - 1):
+        q[mi] = np.linalg.pinv(lam[mi], rcond=1e-12)
+    return lam, q
+
+
+def _cache_path(L: int, spin: int) -> str:
+    return os.path.join(cache_dir(), f"sht_L{L}_spin{spin}.npz")
+
+
+@dataclass(frozen=True)
+class SHTBasis:
+    """Device-resident transform matrices for one (L, spin) pair."""
+
+    L: int
+    spin: int
+    lam: jax.Array  # (2L-1, L, L) real, [m + L - 1, theta, l]
+    q: jax.Array  # (2L-1, L, L) real, [m + L - 1, l, theta]
+    gather_ml: jax.Array  # (2L-1, L) int32: flm index (or L^2 sentinel) per (mi, l)
+    flm_mi: jax.Array  # (L^2,) int32
+    flm_l: jax.Array  # (L^2,) int32
+
+    @property
+    def nlm(self) -> int:
+        return self.L * self.L
+
+    @property
+    def npix(self) -> int:
+        return sampling.sample_length(self.L)
+
+
+jax.tree_util.register_dataclass(
+    SHTBasis,
+    data_fields=["lam", "q", "gather_ml", "flm_mi", "flm_l"],
+    meta_fields=["L", "spin"],
+)
+
+_BASIS_CACHE: dict = {}
+
+
+def get_basis(L: int, spin: int = 0, dtype=None, use_disk_cache: bool = True) -> SHTBasis:
+    """Build (or fetch) the transform basis for (L, spin).
+
+    Precompute is float64 on host; tables land on device in ``dtype``
+    (default: f64 under x64, else f32).
+    """
+    dtype = dtype or real_dtype()
+    key = (L, spin, jnp.dtype(dtype).name)
+    if key in _BASIS_CACHE:
+        return _BASIS_CACHE[key]
+
+    path = _cache_path(L, spin)
+    if use_disk_cache and os.path.exists(path):
+        with np.load(path) as z:
+            lam64, q64 = z["lam"], z["q"]
+    else:
+        lam64, q64 = _precompute(L, spin)
+        if use_disk_cache and L >= 64:
+            tmp = path + ".tmp"
+            np.savez(tmp, lam=lam64, q=q64)
+            os.replace(tmp, path)
+
+    ls = np.arange(L)
+    ms = np.arange(-(L - 1), L)
+    # (mi, l) -> flm index; invalid slots (|m| > l) point at the zero sentinel L^2.
+    gather = np.full((2 * L - 1, L), L * L, dtype=np.int32)
+    for mi, m in enumerate(ms):
+        valid = ls >= abs(m)
+        gather[mi, valid] = ls[valid] ** 2 + ls[valid] + m
+    inds = np.arange(L * L)
+    flm_l = np.floor(np.sqrt(inds)).astype(np.int32)
+    flm_m = (inds - flm_l.astype(np.int64) ** 2 - flm_l).astype(np.int32)
+    flm_mi = flm_m + (L - 1)
+
+    basis = SHTBasis(
+        L=L,
+        spin=spin,
+        lam=jnp.asarray(lam64, dtype=dtype),
+        q=jnp.asarray(q64, dtype=dtype),
+        gather_ml=jnp.asarray(gather),
+        flm_mi=jnp.asarray(flm_mi),
+        flm_l=jnp.asarray(flm_l),
+    )
+    _BASIS_CACHE[key] = basis
+    return basis
+
+
+# ---------------------------------------------------------------------------
+# Layout helpers (flm vector <-> (m, l) matrix)
+# ---------------------------------------------------------------------------
+
+def _to_ml(flm: jax.Array, basis: SHTBasis) -> jax.Array:
+    """(..., L^2) -> (..., 2L-1, L) with zeros at |m| > l."""
+    pad = jnp.zeros(flm.shape[:-1] + (1,), dtype=flm.dtype)
+    flmp = jnp.concatenate([flm, pad], axis=-1)
+    return flmp[..., basis.gather_ml]
+
+
+def _from_ml(F: jax.Array, basis: SHTBasis) -> jax.Array:
+    """(..., 2L-1, L) -> (..., L^2)."""
+    return F[..., basis.flm_mi, basis.flm_l]
+
+
+def _real_mat_complex_vec(spec: str, mat: jax.Array, z: jax.Array) -> jax.Array:
+    """einsum of a real matrix with a complex operand via two real matmuls.
+
+    Avoids XLA materialising a complex copy of the (large) basis matrices and
+    runs both halves through the MXU.  ``spec`` must route the stacked
+    real/imag axis through '...'.
+    """
+    if not jnp.issubdtype(z.dtype, jnp.complexfloating):
+        return jnp.einsum(spec, mat, z)
+    zr = jnp.stack([z.real, z.imag], axis=0)
+    out = jnp.einsum(spec, mat, zr)
+    return jax.lax.complex(out[0], out[1])
+
+
+# ---------------------------------------------------------------------------
+# Transforms.  All accept leading batch dimensions.
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("reality",))
+def inverse(flm: jax.Array, basis: SHTBasis, reality: bool = False) -> jax.Array:
+    """Inverse (synthesis) spin SHT: (..., L^2) complex -> (..., L, 2L-1) map.
+
+    Equivalent of ``pyssht.inverse(flm, L, Spin=spin)``; with ``reality=True``
+    the (real part of the) map is returned as a real array.
+    """
+    L = basis.L
+    N = 2 * L - 1
+    F = _to_ml(flm.astype(complex_dtype()), basis)  # (..., N, L)
+    T = _real_mat_complex_vec("mtl,...ml->...mt", basis.lam, F)  # (..., N(m), L(t))
+    A = jnp.roll(T, -(L - 1), axis=-2)
+    f = N * jnp.fft.ifft(A, axis=-2)  # (..., N(p), L(t))
+    f = jnp.swapaxes(f, -1, -2)  # (..., L, 2L-1)
+    return f.real if reality else f
+
+
+@partial(jax.jit, static_argnames=())
+def forward(f: jax.Array, basis: SHTBasis) -> jax.Array:
+    """Forward (analysis) spin SHT: (..., L, 2L-1) map -> (..., L^2) complex.
+
+    Equivalent of ``pyssht.forward(f, L, Spin=spin)`` — exact on bandlimited
+    maps (see module docstring for the out-of-band convention).
+    """
+    L = basis.L
+    N = 2 * L - 1
+    f = f.astype(complex_dtype())
+    Fk = jnp.fft.fft(f, axis=-1) / N  # (..., L(t), N(k))
+    Fm = jnp.roll(Fk, L - 1, axis=-1)  # k -> mi
+    Fm = jnp.swapaxes(Fm, -1, -2)  # (..., N(m), L(t))
+    G = _real_mat_complex_vec("mlt,...mt->...ml", basis.q, Fm)  # (..., N(m), L(l))
+    return _from_ml(G, basis)
+
+
+@partial(jax.jit, static_argnames=())
+def inverse_adjoint(f: jax.Array, basis: SHTBasis) -> jax.Array:
+    """Adjoint of :func:`inverse`: (..., L, 2L-1) map -> (..., L^2) coefficients.
+
+    Equivalent of ``pyssht.inverse_adjoint`` in the role it plays in the
+    reference gradient chain (``/root/reference/pxmcmc/measurements.py:237``).
+    """
+    L = basis.L
+    f = f.astype(complex_dtype())
+    Tp = jnp.swapaxes(f, -1, -2)  # (..., N(p), L(t))
+    A = jnp.fft.fft(Tp, axis=-2)  # adjoint of N*ifft
+    T = jnp.roll(A, L - 1, axis=-2)  # (..., N(m), L(t))
+    G = _real_mat_complex_vec("mtl,...mt->...ml", basis.lam, T)  # lam^T contraction
+    return _from_ml(G, basis)
+
+
+@partial(jax.jit, static_argnames=())
+def forward_adjoint(flm: jax.Array, basis: SHTBasis) -> jax.Array:
+    """Adjoint of :func:`forward`: (..., L^2) coefficients -> (..., L, 2L-1) map.
+
+    Equivalent of ``pyssht.forward_adjoint`` (``measurements.py:239``).
+    """
+    L = basis.L
+    F = _to_ml(flm.astype(complex_dtype()), basis)  # (..., N(m), L(l))
+    Ft = _real_mat_complex_vec("mlt,...ml->...mt", basis.q, F)  # q^T: (..., N(m), L(t))
+    B = jnp.swapaxes(Ft, -1, -2)  # (..., L(t), N(m))
+    B = jnp.roll(B, -(L - 1), axis=-1)  # m -> k
+    f = jnp.fft.ifft(B, axis=-1)  # adjoint of fft/N
+    return f
