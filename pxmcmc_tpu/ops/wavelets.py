@@ -1,0 +1,310 @@
+r"""Axisymmetric scale-discretised wavelets on the sphere (S2LET equivalent).
+
+TPU-native replacement for the C library S2LET, which the reference reaches
+through ``pys2let.analysis_px2wav / synthesis_wav2px`` and their adjoints
+(`/root/reference/pxmcmc/transforms.py:89-98`) and ``pys2let.wavelet_tiling``
+(`/root/reference/pxmcmc/prior.py:121,132`, ``utils.py:117``).
+
+Construction (Leistedt et al. 2013, scale-discretised wavelets):
+
+    s(t)    = exp(-1/(1-t^2))                      on (-1, 1), else 0
+    s_B(t)  = s( 2B/(B-1) (t - 1/B) - 1 )          smooth bump on (1/B, 1)
+    k_B(t)  = int_t^1 s_B(u)^2/u du  /  int_{1/B}^1 s_B(u)^2/u du
+    kappa_B(t)   = sqrt( k_B(t/B) - k_B(t) )       wavelet generator
+    kappa^j_l    = kappa_B(l / B^j),   j = J_min..J_max,  J_max = ceil(log_B(L-1))
+    eta_l        = sqrt( k_B(l / B^{J_min}) )      scaling function
+
+which telescopes into the exact admissibility identity
+``eta_l^2 + sum_j (kappa^j_l)^2 = 1`` for every l < L — so analysis followed
+by synthesis is *exactly* the identity, independent of how accurately the
+k_B integral is evaluated.
+
+With harmonic tiling in hand, multiresolution (``upsample=0``) analysis is a
+chain of diagonal harmonic multiplies between SHTs: wavelet scale j lives at
+its own bandlimit ``bl_j`` (the largest l where kappa^j_l != 0, mirroring
+``/root/reference/pxmcmc/utils.py:116-125``), so its pixel map has only
+``bl_j (2 bl_j - 1)`` samples.  Coefficient vectors are flat
+``[scaling | wavelet j=J_min | ... | wavelet J_max]`` — the layout produced
+by the reference's ``flatten_mlm`` (`/root/reference/pxmcmc/utils.py:11-22`).
+
+Everything below the tiling precompute is JAX (jit/vmap-able, batch dims
+lead); the hot path is the batched-matmul SHT of :mod:`pxmcmc_tpu.ops.sht`.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import real_dtype
+from . import sampling, sht
+
+__all__ = [
+    "j_max",
+    "tiling",
+    "wavelet_tiling",
+    "multires_bandlimits",
+    "WaveletBasis",
+    "get_wavelet_basis",
+    "analysis",
+    "synthesis",
+    "analysis_adjoint",
+    "synthesis_adjoint",
+]
+
+
+def j_max(B: float, L: int, J_min: int = 0) -> int:
+    """Largest wavelet scale: ceil(log_B(L-1)).  pys2let.pys2let_j_max parity
+    (`/root/reference/pxmcmc/transforms.py:75`); J_min is accepted for
+    signature compatibility but does not enter the formula."""
+    return int(np.ceil(np.log(L - 1) / np.log(B)))
+
+
+def _k_interp(B: float, npts: int = 1 << 14):
+    """Cumulative integral giving k_B(t) by interpolation on [1/B, 1]."""
+    u = np.linspace(1.0 / B, 1.0, npts)
+    arg = 2.0 * B / (B - 1.0) * (u - 1.0 / B) - 1.0
+    with np.errstate(divide="ignore", over="ignore"):
+        s = np.where(np.abs(arg) < 1.0, np.exp(-1.0 / np.maximum(1.0 - arg ** 2, 1e-300)), 0.0)
+    integrand = s ** 2 / u
+    # cumulative from the right: c[i] = int_{u_i}^1 integrand du
+    du = u[1] - u[0]
+    seg = 0.5 * (integrand[1:] + integrand[:-1]) * du
+    c = np.concatenate([np.cumsum(seg[::-1])[::-1], [0.0]])
+    total = c[0]
+
+    def k(t):
+        t = np.asarray(t, dtype=float)
+        val = np.interp(t, u, c / total, left=1.0, right=0.0)
+        return np.where(t <= 1.0 / B, 1.0, np.where(t >= 1.0, 0.0, val))
+
+    return k
+
+
+def tiling(B: float, L: int, J_min: int) -> tuple[np.ndarray, np.ndarray]:
+    """Raw harmonic tiling: (eta_l of shape (L,), kappa^j_l of shape (J, L)).
+
+    These are the *convolution* kernels used by the transforms; the
+    pys2let-convention harmonic coefficients carry an extra
+    sqrt((2l+1)/4pi) (see :func:`wavelet_tiling`).
+    """
+    J = j_max(B, L)
+    k = _k_interp(B)
+    ls = np.arange(L, dtype=float)
+    eta = np.sqrt(np.maximum(k(ls / B ** J_min), 0.0))
+    kappas = np.zeros((J - J_min + 1, L))
+    for i, j in enumerate(range(J_min, J + 1)):
+        kappas[i] = np.sqrt(np.maximum(k(ls / B ** (j + 1)) - k(ls / B ** j), 0.0))
+    return eta, kappas
+
+
+def wavelet_tiling(B: float, L: int, dirs: int = 1, J_min: int = 0, spin: int = 0):
+    """pys2let.wavelet_tiling-compatible output: (phi_l, psi_lm).
+
+    phi_l: (L,) scaling-function harmonic coefficients
+    sqrt((2l+1)/4pi) eta_l; psi_lm: (L^2, J) wavelet coefficients with the
+    axisymmetric m=0 entries populated.  Used by the power-weighted prior
+    (`/root/reference/pxmcmc/prior.py:121,132`) and multires bandlimits
+    (``utils.py:116-125``).  Only dirs=1 (axisymmetric) is supported.
+    """
+    if dirs != 1:
+        raise NotImplementedError("directional wavelets (dirs > 1) not supported")
+    eta, kappas = tiling(B, L, J_min)
+    norm = np.sqrt((2 * np.arange(L) + 1) / (4.0 * np.pi))
+    phi_l = norm * eta
+    J = kappas.shape[0]
+    psi_lm = np.zeros((L * L, J), dtype=complex)
+    for j in range(J):
+        for el in range(L):
+            psi_lm[el * el + el, j] = norm[el] * kappas[j, el]
+    return phi_l, psi_lm
+
+
+def multires_bandlimits(L: int, B: float, J_min: int, dirs: int = 1, spin: int = 0) -> np.ndarray:
+    """Per-scale effective bandlimits [scaling, j=J_min, ..., J_max].
+
+    Max nonzero l of each tiling function + 1, capped at L — the empirical
+    rule of ``/root/reference/pxmcmc/utils.py:116-125``.
+    """
+    eta, kappas = tiling(B, L, J_min)
+    gammas = np.vstack([eta, kappas])
+    bls = np.zeros(gammas.shape[0], dtype=int)
+    for i, g in enumerate(gammas):
+        nz = np.nonzero(g > 0)[0]
+        bls[i] = int(nz.max()) + 1 if nz.size else 1
+    return bls
+
+
+# ---------------------------------------------------------------------------
+# Multiresolution transform basis
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class WaveletBasis:
+    """Device-resident wavelet transform for one (L, B, J_min, spin)."""
+
+    L: int
+    B: float
+    J_min: int
+    J_max: int
+    spin: int
+    bandlimits: tuple  # (nscales+1,) ints: [scaling, j=J_min..J_max]
+    kappa_flm: tuple  # per scale: (bl^2,) real — kappa_l broadcast over m
+    bases: tuple  # per scale: SHTBasis at that scale's bandlimit
+    main: sht.SHTBasis  # SHTBasis at L
+
+    @property
+    def nscales(self) -> int:
+        return self.J_max - self.J_min + 1
+
+    @property
+    def nscal(self) -> int:
+        return sampling.sample_length(self.bandlimits[0])
+
+    @property
+    def nwav(self) -> int:
+        return sum(sampling.sample_length(b) for b in self.bandlimits[1:])
+
+    @property
+    def ncoefs(self) -> int:
+        return self.nscal + self.nwav
+
+    @property
+    def npix(self) -> int:
+        return sampling.sample_length(self.L)
+
+
+jax.tree_util.register_dataclass(
+    WaveletBasis,
+    data_fields=["kappa_flm", "bases", "main"],
+    meta_fields=["L", "B", "J_min", "J_max", "spin", "bandlimits"],
+)
+
+_WB_CACHE: dict = {}
+
+
+def get_wavelet_basis(
+    L: int, B: float, J_min: int, spin: int = 0, dtype=None, use_disk_cache: bool = True
+) -> WaveletBasis:
+    dtype = dtype or real_dtype()
+    key = (L, float(B), J_min, spin, jnp.dtype(dtype).name)
+    if key in _WB_CACHE:
+        return _WB_CACHE[key]
+    eta, kappas = tiling(B, L, J_min)
+    gammas = np.vstack([eta, kappas])
+    bls = tuple(int(b) for b in multires_bandlimits(L, B, J_min, spin=spin))
+    kappa_flm = []
+    bases = []
+    for g, bl in zip(gammas, bls):
+        ls = np.floor(np.sqrt(np.arange(bl * bl))).astype(int)
+        kappa_flm.append(jnp.asarray(g[ls], dtype=dtype))
+        bases.append(sht.get_basis(bl, spin, dtype=dtype, use_disk_cache=use_disk_cache))
+    wb = WaveletBasis(
+        L=L,
+        B=float(B),
+        J_min=J_min,
+        J_max=j_max(B, L),
+        spin=spin,
+        bandlimits=bls,
+        kappa_flm=tuple(kappa_flm),
+        bases=tuple(bases),
+        main=sht.get_basis(L, spin, dtype=dtype, use_disk_cache=use_disk_cache),
+    )
+    _WB_CACHE[key] = wb
+    return wb
+
+
+def _split_scales(X: jax.Array, wb: WaveletBasis):
+    """Split a flat coefficient vector into per-scale pixel blocks."""
+    blocks = []
+    start = 0
+    for bl in wb.bandlimits:
+        n = sampling.sample_length(bl)
+        blocks.append(X[..., start : start + n])
+        start += n
+    return blocks
+
+
+@jax.jit
+def analysis(f: jax.Array, wb: WaveletBasis) -> jax.Array:
+    """Pixel map -> multiresolution wavelet coefficients.
+
+    Equivalent of ``pys2let.analysis_px2wav`` + ``flatten_mlm``
+    (`/root/reference/pxmcmc/transforms.py:102-112`): per scale,
+    W^j_{lm} = f_{lm} kappa^j_l rendered at the scale's own bandlimit.
+
+    :param f: (..., L(2L-1)) flat MW map (complex or real)
+    :return: (..., ncoefs) complex, [scaling | j=J_min | ...]
+    """
+    L = wb.L
+    fmap = f.reshape(f.shape[:-1] + (L, 2 * L - 1))
+    flm = sht.forward(fmap, wb.main)
+    out = []
+    for kap, basis, bl in zip(wb.kappa_flm, wb.bases, wb.bandlimits):
+        coefs_lm = flm[..., : bl * bl] * kap
+        wmap = sht.inverse(coefs_lm, basis)
+        out.append(wmap.reshape(wmap.shape[:-2] + (-1,)))
+    return jnp.concatenate(out, axis=-1)
+
+
+@jax.jit
+def synthesis(X: jax.Array, wb: WaveletBasis) -> jax.Array:
+    """Multiresolution wavelet coefficients -> pixel map.
+
+    Equivalent of ``expand_mlm`` + ``pys2let.synthesis_wav2px``
+    (`/root/reference/pxmcmc/transforms.py:114-127`).  Exact inverse of
+    :func:`analysis` by the admissibility identity.
+    """
+    L = wb.L
+    blocks = _split_scales(X, wb)
+    flm = None
+    for blk, kap, basis, bl in zip(blocks, wb.kappa_flm, wb.bases, wb.bandlimits):
+        wmap = blk.reshape(blk.shape[:-1] + (bl, 2 * bl - 1))
+        wlm = sht.forward(wmap, basis) * kap
+        pad = L * L - bl * bl
+        wlm_full = jnp.pad(wlm, [(0, 0)] * (wlm.ndim - 1) + [(0, pad)])
+        flm = wlm_full if flm is None else flm + wlm_full
+    f = sht.inverse(flm, wb.main)
+    return f.reshape(f.shape[:-2] + (-1,))
+
+
+@jax.jit
+def synthesis_adjoint(f: jax.Array, wb: WaveletBasis) -> jax.Array:
+    """Adjoint of :func:`synthesis`: pixel map -> coefficient space.
+
+    Equivalent of ``pys2let.synthesis_adjoint_px2wav``
+    (`/root/reference/pxmcmc/transforms.py:129-139`) — the map the synthesis
+    -setting gradient flows through (``forward.py:71-72``).
+    """
+    L = wb.L
+    fmap = f.reshape(f.shape[:-1] + (L, 2 * L - 1))
+    glm = sht.inverse_adjoint(fmap, wb.main)
+    out = []
+    for kap, basis, bl in zip(wb.kappa_flm, wb.bases, wb.bandlimits):
+        wlm = glm[..., : bl * bl] * kap
+        wmap = sht.forward_adjoint(wlm, basis)
+        out.append(wmap.reshape(wmap.shape[:-2] + (-1,)))
+    return jnp.concatenate(out, axis=-1)
+
+
+@jax.jit
+def analysis_adjoint(X: jax.Array, wb: WaveletBasis) -> jax.Array:
+    """Adjoint of :func:`analysis`: coefficient space -> pixel map.
+
+    Equivalent of ``pys2let.analysis_adjoint_wav2px``
+    (`/root/reference/pxmcmc/transforms.py:96`).
+    """
+    L = wb.L
+    blocks = _split_scales(X, wb)
+    flm = None
+    for blk, kap, basis, bl in zip(blocks, wb.kappa_flm, wb.bases, wb.bandlimits):
+        wmap = blk.reshape(blk.shape[:-1] + (bl, 2 * bl - 1))
+        wlm = sht.inverse_adjoint(wmap, basis) * kap
+        pad = L * L - bl * bl
+        wlm_full = jnp.pad(wlm, [(0, 0)] * (wlm.ndim - 1) + [(0, pad)])
+        flm = wlm_full if flm is None else flm + wlm_full
+    f = sht.forward_adjoint(flm, wb.main)
+    return f.reshape(f.shape[:-2] + (-1,))

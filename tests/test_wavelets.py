@@ -1,0 +1,103 @@
+"""Wavelet layer tests: admissibility, round-trip, adjoint dot-tests.
+
+Mirrors `/root/reference/tests/test_transforms.py` plus tiling identities the
+reference takes on faith from the S2LET C library.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pxmcmc_tpu.ops import sampling, wavelets
+from pxmcmc_tpu.transforms import IdentityTransform, SphericalWaveletTransform
+
+
+@pytest.fixture
+def wvlttransform(L, B, J_min):
+    return SphericalWaveletTransform(L, B, J_min)
+
+
+def test_admissibility(L, B, J_min):
+    """eta^2 + sum_j kappa_j^2 == 1 for every l < L — exact reconstruction."""
+    eta, kappas = wavelets.tiling(B, L, J_min)
+    total = eta ** 2 + (kappas ** 2).sum(axis=0)
+    assert np.allclose(total, 1.0, atol=1e-10)
+
+
+def test_j_max(B, L):
+    assert wavelets.j_max(B, L) == int(np.ceil(np.log(L - 1) / np.log(B)))
+
+
+def test_multires_bandlimits(L, B, J_min):
+    bls = wavelets.multires_bandlimits(L, B, J_min)
+    # scaling support ends at B^J_min; wavelet j support ends at B^(j+1), cap L
+    assert bls[0] <= int(np.ceil(B ** J_min))
+    assert bls[-1] == L
+    assert all(0 < b <= L for b in bls)
+    # monotone non-decreasing across wavelet scales
+    assert all(b1 <= b2 for b1, b2 in zip(bls[1:], bls[2:]))
+
+
+def test_tiling_pys2let_convention(L, B, J_min):
+    phi_l, psi_lm = wavelets.wavelet_tiling(B, L, 1, J_min, 0)
+    assert phi_l.shape == (L,)
+    J = wavelets.j_max(B, L) - J_min + 1
+    assert psi_lm.shape == (L * L, J)
+    # only m=0 entries populated (axisymmetric)
+    for ind in range(L * L):
+        el = int(np.floor(np.sqrt(ind)))
+        if ind != el * el + el:
+            assert np.all(psi_lm[ind] == 0)
+
+
+def test_wavelet_fwdback(wvlttransform, simpledata):
+    """forward then inverse is the identity (ref test_transforms.py:16-19)."""
+    X_wav = wvlttransform.forward(simpledata)
+    assert X_wav.shape[-1] == wvlttransform.ncoefs
+    data_rec = np.asarray(wvlttransform.inverse(X_wav))
+    assert np.allclose(simpledata, data_rec.real, atol=1e-10)
+    assert np.abs(data_rec.imag).max() < 1e-10
+
+
+def test_wavelet_fwd_adjoint_dot(wvlttransform, simpledata, rng):
+    x = simpledata.astype(complex)
+    y = np.asarray(wvlttransform.forward(x))
+    f = rng.standard_normal(wvlttransform.ncoefs) + 1j * rng.standard_normal(
+        wvlttransform.ncoefs
+    )
+    g = np.asarray(wvlttransform.forward_adjoint(f))
+    assert np.isclose(np.vdot(f, y), np.vdot(g, x))
+
+
+def test_wavelet_inv_adjoint_dot(wvlttransform, simpledata, rng):
+    x = rng.standard_normal(wvlttransform.ncoefs) + 1j * rng.standard_normal(
+        wvlttransform.ncoefs
+    )
+    y = np.asarray(wvlttransform.inverse(x))
+    f = simpledata.astype(complex)
+    g = np.asarray(wvlttransform.inverse_adjoint(f))
+    assert np.isclose(np.vdot(f, y), np.vdot(g, x))
+
+
+def test_wavelet_batched(wvlttransform, simpledata):
+    batch = np.stack([simpledata, 2 * simpledata, -simpledata])
+    X = np.asarray(wvlttransform.forward(batch))
+    assert X.shape == (3, wvlttransform.ncoefs)
+    rec = np.asarray(wvlttransform.inverse(X))
+    assert np.allclose(rec.real, batch, atol=1e-10)
+
+
+def test_coefficient_layout(wvlttransform, simpledata):
+    """Scaling block first, then wavelet scales at their multires sizes."""
+    bls = wavelets.multires_bandlimits(
+        wvlttransform.L, wvlttransform.B, wvlttransform.J_min
+    )
+    sizes = [sampling.sample_length(int(b)) for b in bls]
+    assert wvlttransform.nscal == sizes[0]
+    assert wvlttransform.nwav == sum(sizes[1:])
+
+
+def test_identity_transform():
+    t = IdentityTransform()
+    x = jnp.arange(5.0)
+    for meth in ("forward", "inverse", "forward_adjoint", "inverse_adjoint"):
+        assert np.array_equal(np.asarray(getattr(t, meth)(x)), np.asarray(x))
