@@ -1,0 +1,543 @@
+r"""Proximal MCMC samplers: MYULA, PxMALA, SKROCK — jit/scan/vmap native.
+
+Behavioural parity with ``/root/reference/pxmcmc/mcmc.py`` re-architected for
+TPU: the per-iteration work (wavelet synthesis, measurement op, adjoints,
+prox, Euler-Maruyama update) is a pure function ``(key, state) -> state``
+compiled once by XLA, wrapped in ``lax.scan`` over iterations, ``vmap`` over
+chains, and (see :mod:`pxmcmc_tpu.parallel`) ``shard_map`` over a device
+mesh.  The reference's data-dependent Python loop (``mcmc.py:157``) becomes
+fixed-length scans; Metropolis accept/reject and Robbins-Monro step-size
+tuning are branchless ``jnp.where`` selects so they vectorise across chains.
+
+Differences from the reference, by design:
+
+* Recording cadence: the reference records at iterations ``nburn, nburn+ngap,
+  ...`` (``mcmc.py:166-168``); we run ``nburn`` burn-in steps then ``nsamples``
+  blocks of ``max(ngap, 1)`` steps, recording after each block.  Statistically
+  identical; shapes are static for XLA.
+* PxMALA records the current (last-accepted) state at every block end and
+  emits the full per-iteration acceptance/delta traces, rather than skipping
+  blocks whose final proposal was rejected (``mcmc.py:263``).
+* SKROCK implements the linear three-term Chebyshev recursion of the SK-ROCK
+  scheme; the reference's recursive form (``mcmc.py:349-368``) re-evaluates
+  lower stages exponentially many times.
+* Real-valued sampling keeps the state real: gradients produced by the
+  (complex) adjoint chain have zero imaginary part for real signals and the
+  real part is taken explicitly, where the reference silently discards the
+  imaginary part when writing into its float chain array (``mcmc.py:140``).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import complex_dtype, real_dtype
+
+__all__ = ["PxMCMCParams", "PxMCMC", "MYULA", "PxMALA", "SKROCK"]
+
+
+class PxMCMCParams:
+    """Tuning and runtime parameters (ref ``mcmc.py:6-43``).
+
+    :param lmda: prox regularisation parameter of the Moreau-Yosida envelope
+    :param delta: forward-Euler step size (MYULA, PxMALA)
+    :param mu: prior regularisation weight
+    :param s: Chebyshev stage count (SKROCK)
+    :param nsamples: number of saved samples
+    :param nburn: burn-in iterations
+    :param ngap: thinning (iterations between saved samples)
+    :param complex: sample complex parameters
+    :param verbosity: print progress every ``verbosity`` iterations (0 = quiet)
+    :param track: subset of {logposterior, predictions, chain, L2, prior}
+    :param nchains: number of parallel chains (vmapped; beyond-reference)
+    """
+
+    def __init__(
+        self,
+        lmda=3e-5,
+        delta=1e-5,
+        s=1,
+        mu=1,
+        nsamples=int(1e6),
+        nburn=int(1e3),
+        ngap=int(1e2),
+        complex=False,
+        verbosity=100,
+        track=("logposterior", "L2", "prior", "chain"),
+        nchains=1,
+    ):
+        self.lmda = lmda
+        self.delta = delta
+        self.mu = mu
+        self.s = s
+        self.nsamples = int(nsamples)
+        self.nburn = int(nburn)
+        self.ngap = int(ngap)
+        self.complex = complex
+        self.verbosity = int(verbosity)
+        self.track = list(track)
+        self.nchains = int(nchains)
+
+
+class PxMCMC:
+    """Base sampler: posterior evaluation and shared runtime (ref ``mcmc.py:46-140``).
+
+    :param forward: :class:`pxmcmc_tpu.forward.ForwardOperator`
+    :param prior: object with ``prior(X)`` and ``proxf(X)`` (e.g. :class:`pxmcmc_tpu.prior.L1`)
+    :param mcmcparams: :class:`PxMCMCParams`
+    """
+
+    def __init__(self, forward, prior, mcmcparams=None, seed=0):
+        self.forward = forward
+        self.prior = prior
+        params = mcmcparams or PxMCMCParams()
+        for attr in params.__dict__:
+            setattr(self, attr, getattr(params, attr))
+        self.params = params
+        self.seed = seed
+        self._xdtype = complex_dtype() if self.complex else real_dtype()
+
+    # -- posterior ----------------------------------------------------------
+    def logpi(self, X, preds):
+        """(log posterior, L2, prior) of a sample (ref ``mcmc.py:71-82``)."""
+        L2 = self.forward.logpi_fidelity(preds)
+        prior = self.prior.prior(X)
+        return -self.mu * prior - L2, L2, prior
+
+    def _gradlogpi(self, X, preds=None):
+        """Moreau-Yosida envelope gradient (ref ``mcmc.py:84-89``)."""
+        gradf = (X - self.prior.proxf(X)) / self.lmda
+        if preds is None:
+            preds = self.forward.forward(X)
+        gradg = self._cast(self.forward.calc_gradg(preds))
+        return -gradf - gradg
+
+    def _cast(self, v):
+        """Project operator outputs onto the sampled dtype (real part for real chains)."""
+        return v.real.astype(self._xdtype) if not self.complex else v.astype(self._xdtype)
+
+    def _noise(self, key, shape):
+        if self.complex:
+            kr, ki = jax.random.split(key)
+            return (
+                jax.random.normal(kr, shape, dtype=real_dtype())
+                + 1j * jax.random.normal(ki, shape, dtype=real_dtype())
+            ).astype(self._xdtype)
+        return jax.random.normal(key, shape, dtype=self._xdtype)
+
+    def _initial_sample(self, start_point=None, key=None):
+        """Laplace-random or user start point, batched to nchains (ref ``mcmc.py:97-111``)."""
+        n = self.forward.nparams
+        shape = (self.nchains, n)
+        if start_point is None:
+            key = key if key is not None else jax.random.key(self.seed)
+            k1, k2 = jax.random.split(key)
+            X = jax.random.laplace(k1, shape, dtype=real_dtype())
+            if self.complex:
+                X = X + 1j * jax.random.laplace(k2, shape, dtype=real_dtype())
+            X = X.astype(self._xdtype)
+        else:
+            start_point = jnp.asarray(start_point)
+            if start_point.ndim == 1:
+                if start_point.shape[0] != n:
+                    raise ValueError("Initial sample given has incorrect size")
+                X = jnp.broadcast_to(start_point, shape).astype(self._xdtype)
+            elif start_point.shape == shape:
+                X = start_point.astype(self._xdtype)
+            else:
+                raise ValueError("Initial sample given has incorrect size")
+        preds = self.forward.forward(X)
+        return X, preds
+
+    # -- runtime ------------------------------------------------------------
+    @property
+    def _gap(self) -> int:
+        return max(self.ngap, 1)
+
+    def _print_progress(self, j, logpi, **kwargs):
+        extras = " - ".join(f"{k}: {np.mean(v):.8e}" for k, v in kwargs.items())
+        print(f"{j+1:,}/{self.nsamples:,} - logposterior: {np.mean(logpi):.8e} - {extras}")
+
+    def run(self, start_point=None):
+        """Run the chain; fills the tracking arrays (host numpy).
+
+        Executes as a Python loop over superblocks, each one jitted scan of
+        ``block * gap`` steps, with thinned samples offloaded to host — the
+        streaming replacement for the reference's all-in-RAM tracking arrays
+        (``mcmc.py:113-128``).
+        """
+        key = jax.random.key(self.seed)
+        key, init_key = jax.random.split(key)
+        X, preds = self._initial_sample(start_point, init_key)
+        state = self._init_state(X, preds)
+
+        step = self._build_step()
+        gap = self._gap
+
+        def gap_block(state, key):
+            keys = jax.random.split(key, gap)
+            state, traces = jax.lax.scan(step, state, keys)
+            rec = self._record(state)
+            return state, (rec, traces)
+
+        @partial(jax.jit, static_argnums=2)
+        def superblock(state, key, nblk):
+            keys = jax.random.split(key, nblk)
+            state, (recs, traces) = jax.lax.scan(gap_block, state, keys)
+            return state, recs, traces
+
+        # burn-in
+        if self.nburn > 0:
+            jax.jit
+            def burn(state, key):
+                keys = jax.random.split(key, self.nburn)
+                state, _ = jax.lax.scan(step, state, keys)
+                return state
+
+            key, bkey = jax.random.split(key)
+            state = burn(state, bkey)
+
+        # sampling in superblocks
+        self._alloc_tracking()
+        block = max(1, min(self.nsamples, int(4e6) // max(self.forward.nparams, 1) + 1))
+        j = 0
+        while j < self.nsamples:
+            nblk = min(block, self.nsamples - j)
+            key, skey = jax.random.split(key)
+            state, recs, traces = superblock(state, skey, nblk)
+            recs = jax.device_get(recs)
+            self._store_tracking(j, nblk, recs, jax.device_get(traces))
+            j += nblk
+            if self.verbosity > 0:
+                self._progress(j, recs)
+        print("\nDONE")
+        return self
+
+    def _progress(self, j, recs):
+        if "logposterior" in self.track:
+            self._print_progress(
+                j - 1,
+                self.logPi[j - 1],
+                L2=self.L2s[j - 1] if "L2" in self.track else 0.0,
+                prior=self.priors[j - 1] if "prior" in self.track else 0.0,
+            )
+
+    # -- tracking -----------------------------------------------------------
+    def _alloc_tracking(self):
+        ns, nc = self.nsamples, self.nchains
+        n = self.forward.nparams
+        if "logposterior" in self.track:
+            self.logPi = np.zeros((ns, nc))
+        if "predictions" in self.track:
+            self.preds = np.zeros(
+                (ns, nc, self.forward.data.shape[-1]),
+                dtype=complex if self.forward.iscomplex else float,
+            )
+        if "chain" in self.track:
+            self.chain = np.zeros((ns, nc, n), dtype=complex if self.complex else float)
+        if "L2" in self.track:
+            self.L2s = np.zeros((ns, nc))
+        if "prior" in self.track:
+            self.priors = np.zeros((ns, nc))
+
+    def _record(self, state):
+        """Per-sample quantities emitted from the scan (device side)."""
+        rec = {}
+        need_logpi = {"logposterior", "L2", "prior"} & set(self.track)
+        if need_logpi:
+            logPi, L2, prior = self.logpi(state.X, state.preds)
+            rec.update(logposterior=logPi, L2=L2, prior=prior)
+        if "chain" in self.track:
+            rec["chain"] = state.X
+        if "predictions" in self.track:
+            rec["predictions"] = state.preds
+        return rec
+
+    def _store_tracking(self, j, nblk, recs, traces):
+        sl = slice(j, j + nblk)
+        if "logposterior" in self.track:
+            self.logPi[sl] = recs["logposterior"]
+        if "L2" in self.track:
+            self.L2s[sl] = recs["L2"]
+        if "prior" in self.track:
+            self.priors[sl] = recs["prior"]
+        if "chain" in self.track:
+            self.chain[sl] = recs["chain"]
+        if "predictions" in self.track:
+            self.preds[sl] = recs["predictions"]
+
+    # -- to be provided by subclasses ---------------------------------------
+    def _init_state(self, X, preds):
+        raise NotImplementedError
+
+    def _build_step(self):
+        raise NotImplementedError
+
+
+# ---------------------------------------------------------------------------
+# MYULA
+# ---------------------------------------------------------------------------
+
+@dataclass
+class ChainState:
+    X: jax.Array
+    preds: jax.Array
+
+
+jax.tree_util.register_dataclass(ChainState, data_fields=["X", "preds"], meta_fields=[])
+
+
+class MYULA(PxMCMC):
+    """Moreau-Yosida Unadjusted Langevin (ref ``mcmc.py:143-201``).
+
+    One step:  X' = (1 - delta/lmda) X + (delta/lmda) prox_f(X)
+               - delta grad_g + sqrt(2 delta) w,   w ~ N(0, I).
+    """
+
+    def _init_state(self, X, preds):
+        return ChainState(X=X, preds=preds)
+
+    def chain_step(self, X, proxf, gradg, w, delta=None):
+        """Euler-Maruyama step (ref ``mcmc.py:185-201``)."""
+        delta = self.delta if delta is None else delta
+        return (
+            (1 - delta / self.lmda) * X
+            + (delta / self.lmda) * proxf
+            - delta * gradg
+            + jnp.sqrt(2 * delta) * w
+        )
+
+    def _build_step(self):
+        def step(state, key):
+            gradg = self._cast(self.forward.calc_gradg(state.preds))
+            proxf = self.prior.proxf(state.X)
+            w = self._noise(key, state.X.shape)
+            X = self.chain_step(state.X, proxf, gradg, w)
+            preds = self.forward.forward(X)
+            return ChainState(X=X, preds=preds), ()
+
+        return step
+
+
+# ---------------------------------------------------------------------------
+# PxMALA
+# ---------------------------------------------------------------------------
+
+@dataclass
+class MALAState:
+    X: jax.Array
+    preds: jax.Array
+    gradg: jax.Array
+    proxf: jax.Array
+    logpi: jax.Array
+    L2: jax.Array
+    prior: jax.Array
+    delta: jax.Array  # per-chain tuned step size
+    it: jax.Array  # iteration counter (scalar int32)
+
+
+jax.tree_util.register_dataclass(
+    MALAState,
+    data_fields=["X", "preds", "gradg", "proxf", "logpi", "L2", "prior", "delta", "it"],
+    meta_fields=[],
+)
+
+
+class PxMALA(MYULA):
+    """MYULA proposal + Metropolis-Hastings correction (ref ``mcmc.py:204-289``).
+
+    :param tune_delta: Robbins-Monro tuning of ``delta`` toward 0.5 acceptance
+        (``mcmc.py:277-279``), per chain.
+    """
+
+    def __init__(self, forward, prior, mcmcparams=None, tune_delta=True, seed=0):
+        super().__init__(forward, prior, mcmcparams, seed=seed)
+        self.tune_delta = tune_delta
+        self.acceptance_trace = None
+        self.deltas_trace = None
+
+    def _init_state(self, X, preds):
+        logpi, L2, prior = self.logpi(X, preds)
+        return MALAState(
+            X=X,
+            preds=preds,
+            gradg=self._cast(self.forward.calc_gradg(preds)),
+            proxf=self.prior.proxf(X),
+            logpi=logpi,
+            L2=L2,
+            prior=prior,
+            delta=jnp.full((self.nchains,), self.delta, dtype=real_dtype()),
+            it=jnp.zeros((), dtype=jnp.int32),
+        )
+
+    def calc_logtransition(self, X1, X2, proxf, gradg, delta):
+        """log q(X2 | X1) of the MYULA proposal kernel (ref ``mcmc.py:281-289``).
+
+        Proposal mean m = X1 + (delta/2) gradlogpi(X1); the Gaussian exponent
+        is -||X2 - m||^2 / (4 delta) (covariance 2 delta I).  The reference's
+        expression squares the sum and scales by delta/2 (``mcmc.py:286-289``)
+        — a transcription slip that breaks detailed balance; we use the exact
+        kernel.
+        """
+        gradlogpiX1 = -((X1 - proxf) / self.lmda) - gradg
+        m = X1 + (delta[..., None] / 2) * gradlogpiX1
+        r = X2 - m
+        return -jnp.sum(jnp.abs(r) ** 2, axis=-1) / (4 * delta)
+
+    def _tune(self, delta, accept, it):
+        """Robbins-Monro toward 0.5 acceptance, clamped (ref ``mcmc.py:277-279``)."""
+        new = delta * (1 + (accept.astype(real_dtype()) - 0.5) / (it + 1.0) ** 0.75)
+        return jnp.clip(new, self.lmda * 1e-8, self.lmda / 2)
+
+    def _build_step(self):
+        def step(state, key):
+            kn, ka = jax.random.split(key)
+            w = self._noise(kn, state.X.shape)
+            delta = state.delta[..., None]
+            X_prop = (
+                (1 - delta / self.lmda) * state.X
+                + (delta / self.lmda) * state.proxf
+                - delta * state.gradg
+                + jnp.sqrt(2 * delta) * w
+            )
+            prop_preds = self.forward.forward(X_prop)
+            gradg_prop = self._cast(self.forward.calc_gradg(prop_preds))
+            proxf_prop = self.prior.proxf(X_prop)
+            logpiXp, L2Xp, priorXp = self.logpi(X_prop, prop_preds)
+
+            logtransXcXp = self.calc_logtransition(
+                state.X, X_prop, state.proxf, state.gradg, state.delta
+            )
+            logtransXpXc = self.calc_logtransition(
+                X_prop, state.X, proxf_prop, gradg_prop, state.delta
+            )
+            logalpha = logtransXpXc + logpiXp - logtransXcXp - state.logpi
+            u = jax.random.uniform(ka, logalpha.shape, dtype=real_dtype())
+            accept = jnp.log(u) < logalpha
+
+            def sel(a, b):
+                cond = accept.reshape(accept.shape + (1,) * (a.ndim - accept.ndim))
+                return jnp.where(cond, a, b)
+
+            new_delta = (
+                self._tune(state.delta, accept, state.it.astype(real_dtype()))
+                if self.tune_delta
+                else state.delta
+            )
+            new_state = MALAState(
+                X=sel(X_prop, state.X),
+                preds=sel(prop_preds, state.preds),
+                gradg=sel(gradg_prop, state.gradg),
+                proxf=sel(proxf_prop, state.proxf),
+                logpi=sel(logpiXp, state.logpi),
+                L2=sel(L2Xp, state.L2),
+                prior=sel(priorXp, state.prior),
+                delta=new_delta,
+                it=state.it + 1,
+            )
+            return new_state, (accept.astype(jnp.int8), new_delta)
+
+        return step
+
+    def _store_tracking(self, j, nblk, recs, traces):
+        super()._store_tracking(j, nblk, recs, traces)
+        accepts, deltas = traces  # (nblk, gap, nchains)
+        a = accepts.reshape(-1, self.nchains)
+        d = deltas.reshape(-1, self.nchains)
+        if self.acceptance_trace is None:
+            self.acceptance_trace = a
+            self.deltas_trace = d
+        else:
+            self.acceptance_trace = np.concatenate([self.acceptance_trace, a])
+            self.deltas_trace = np.concatenate([self.deltas_trace, d])
+        self.delta_final = d[-1]
+
+    def _progress(self, j, recs):
+        if "logposterior" in self.track and self.acceptance_trace is not None:
+            self._print_progress(
+                j - 1,
+                self.logPi[j - 1],
+                L2=self.L2s[j - 1] if "L2" in self.track else 0.0,
+                prior=self.priors[j - 1] if "prior" in self.track else 0.0,
+                acceptanceRate=np.mean(self.acceptance_trace),
+            )
+
+
+# ---------------------------------------------------------------------------
+# SKROCK
+# ---------------------------------------------------------------------------
+
+class SKROCK(PxMCMC):
+    """Stabilised Runge-Kutta-Chebyshev Langevin (ref ``mcmc.py:292-383``).
+
+    Implements the linear three-term SK-ROCK recursion
+
+        K_0 = X
+        K_1 = X + mu_1 delta G(X + nu_1 sqrt(2 delta) Z) + k_1 sqrt(2 delta) Z
+        K_j = mu_j delta G(K_{j-1}) + nu_j K_{j-1} + k_j K_{j-2}
+
+    with G = grad log pi (Moreau-Yosida), omega_0 = 1 + eta/s^2,
+    omega_1 = T_s(omega_0) / T_s'(omega_0), and for j >= 2
+
+        mu_j = 2 omega_1 T_{j-1}(omega_0) / T_j(omega_0)
+        nu_j = 2 omega_0 T_{j-1}(omega_0) / T_j(omega_0)
+        k_j  = 1 - nu_j  ( = -T_{j-2}(omega_0)/T_j(omega_0) ).
+
+    The reference's recursive ``_K_recursion`` (``mcmc.py:349-368``) evaluates
+    lower stages exponentially many times and adds ``ks[j]`` as a scalar; this
+    is the intended linear scheme.
+    """
+
+    def __init__(self, forward, prior, mcmcparams=None, seed=0):
+        super().__init__(forward, prior, mcmcparams, seed=seed)
+        self.eta = 0.05
+        s = self.s
+        w0 = 1 + self.eta / (s * s)
+        # Chebyshev values via the iterative recurrences in utils
+        from .utils import cheb1der, chebyshev1
+
+        self.omega_0 = w0
+        self.omega_1 = chebyshev1(w0, s) / cheb1der(w0, s)
+        mus = np.zeros(s + 1)
+        nus = np.zeros(s + 1)
+        ks = np.zeros(s + 1)
+        mus[1] = self.omega_1 / w0
+        nus[1] = s * self.omega_1 / 2
+        ks[1] = s * self.omega_1 / w0
+        T = [float(chebyshev1(w0, j)) for j in range(s + 1)]
+        for j in range(2, s + 1):
+            ratio = T[j - 1] / T[j]
+            mus[j] = 2 * self.omega_1 * ratio
+            nus[j] = 2 * w0 * ratio
+            ks[j] = 1 - nus[j]
+        self.mus, self.nus, self.ks = mus, nus, ks
+
+    def _init_state(self, X, preds):
+        return ChainState(X=X, preds=preds)
+
+    def chain_step(self, X, Z):
+        """One SK-ROCK update (linear recursion over s stages)."""
+        sq = jnp.sqrt(2 * self.delta)
+        K_prev = X
+        K = X + self.mus[1] * self.delta * self._gradlogpi(X + self.nus[1] * sq * Z) + self.ks[1] * sq * Z
+        for j in range(2, self.s + 1):
+            K, K_prev = (
+                self.mus[j] * self.delta * self._gradlogpi(K)
+                + self.nus[j] * K
+                + self.ks[j] * K_prev,
+                K,
+            )
+        return K
+
+    def _build_step(self):
+        def step(state, key):
+            Z = self._noise(key, state.X.shape)
+            X = self.chain_step(state.X, Z)
+            preds = self.forward.forward(X)
+            return ChainState(X=X, preds=preds), ()
+
+        return step

@@ -1,0 +1,134 @@
+"""Sampler tests: smoke runs (ref `/root/reference/tests/test_mcmc.py`) plus
+statistical assertions the reference lacks (Gaussian-target moment checks,
+multi-chain batching)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pxmcmc_tpu.forward import ForwardOperator
+from pxmcmc_tpu.mcmc import MYULA, SKROCK, PxMALA, PxMCMCParams
+from pxmcmc_tpu.measurements import Identity
+from pxmcmc_tpu.prior import L1
+from pxmcmc_tpu.transforms import IdentityTransform
+
+
+@pytest.fixture
+def forwardop(simpledata, setting, sig_d):
+    ndata = nparams = len(simpledata)
+    return ForwardOperator(
+        simpledata,
+        sig_d,
+        setting,
+        IdentityTransform(),
+        Identity(ndata, nparams),
+        nparams=nparams,
+    )
+
+
+@pytest.fixture
+def prox(forwardop, setting):
+    return L1(
+        setting, forwardop.transform.inverse, forwardop.transform.inverse_adjoint, 1
+    )
+
+
+@pytest.fixture
+def mcmcparams():
+    return PxMCMCParams(nsamples=100, nburn=10, ngap=5, verbosity=0, s=5)
+
+
+@pytest.fixture(params=["myula", "pxmala", "skrock"])
+def algo(request, forwardop, prox, mcmcparams):
+    cls = {"myula": MYULA, "pxmala": PxMALA, "skrock": SKROCK}[request.param]
+    return cls(forwardop, prox, mcmcparams)
+
+
+def test_algorithms(algo):
+    algo.run()
+    assert algo.chain.shape == (100, 1, algo.forward.nparams)
+    assert np.isfinite(algo.logPi).all()
+    assert np.isfinite(algo.chain).all()
+
+
+def test_initial_sample(algo, simpledata):
+    algo.run(simpledata)
+
+
+def test_initial_sample_failure(algo, simpledata):
+    with pytest.raises(Exception):
+        algo.run(simpledata[:5])
+
+
+def test_multichain(forwardop, prox):
+    params = PxMCMCParams(nsamples=20, nburn=5, ngap=2, verbosity=0, nchains=4)
+    mcmc = MYULA(forwardop, prox, params)
+    mcmc.run()
+    assert mcmc.chain.shape == (20, 4, forwardop.nparams)
+    # chains must differ (independent noise streams)
+    assert not np.allclose(mcmc.chain[:, 0], mcmc.chain[:, 1])
+
+
+def test_complex_sampling(simpledata, rng):
+    data = simpledata + 1j * rng.standard_normal(len(simpledata))
+    nparams = len(data)
+    fwd = ForwardOperator(
+        data, 0.1, "synthesis", IdentityTransform(), Identity(nparams, nparams),
+        nparams=nparams,
+    )
+    prox = L1("synthesis", None, None, 1)
+    params = PxMCMCParams(
+        nsamples=10, nburn=5, ngap=2, verbosity=0, complex=True, delta=1e-5, lmda=1e-4
+    )
+    mcmc = MYULA(fwd, prox, params)
+    mcmc.run()
+    assert np.iscomplexobj(mcmc.chain)
+    assert np.isfinite(mcmc.chain).all()
+
+
+def test_myula_targets_gaussian_posterior():
+    """With a negligible L1 weight the drift -delta (x-y)/sigma^2 targets the
+    Gaussian likelihood N(y, sigma^2 I); MYULA moments must land near it.
+    (Statistical check absent from the reference test suite.)"""
+    n = 16
+    y = np.linspace(-1, 1, n)
+    sigma = 0.5
+    fwd = ForwardOperator(
+        y, sigma, "synthesis", IdentityTransform(), Identity(n, n), nparams=n
+    )
+    prox = L1("synthesis", None, None, 1e-8)
+    params = PxMCMCParams(
+        nsamples=4000, nburn=500, ngap=5, verbosity=0, delta=2e-2, lmda=5e-2,
+        mu=1e-6, nchains=2,
+    )
+    mcmc = MYULA(fwd, prox, params)
+    mcmc.run()
+    samples = mcmc.chain.reshape(-1, n)
+    mean = samples.mean(axis=0)
+    var = samples.var(axis=0)
+    assert np.allclose(mean, y, atol=0.15)
+    assert np.allclose(var, sigma ** 2, rtol=0.5)
+
+
+def test_pxmala_acceptance_tuning(forwardop, prox):
+    params = PxMCMCParams(nsamples=50, nburn=10, ngap=2, verbosity=0, delta=1e-4)
+    mcmc = PxMALA(forwardop, prox, params, tune_delta=True)
+    mcmc.run()
+    assert mcmc.acceptance_trace is not None
+    acc = mcmc.acceptance_trace.mean()
+    assert 0.0 <= acc <= 1.0
+    assert mcmc.deltas_trace.shape == mcmc.acceptance_trace.shape
+    # tuned deltas stay in the clamp range (ref mcmc.py:279)
+    assert (mcmc.deltas_trace >= mcmc.lmda * 1e-8).all()
+    assert (mcmc.deltas_trace <= mcmc.lmda / 2).all()
+
+
+def test_skrock_coefficients_sane():
+    """SK-ROCK stage polynomial consistency: k_j = 1 - nu_j for j >= 2."""
+    n = 8
+    fwd = ForwardOperator(
+        np.ones(n), 1.0, "synthesis", IdentityTransform(), Identity(n, n), nparams=n
+    )
+    prox = L1("synthesis", None, None, 1)
+    mcmc = SKROCK(fwd, prox, PxMCMCParams(nsamples=1, nburn=0, ngap=1, verbosity=0, s=10))
+    for j in range(2, 11):
+        assert np.isclose(mcmc.ks[j], 1 - mcmc.nus[j])

@@ -1,0 +1,105 @@
+"""Measurement operator tests — adjoint dot-tests and analytic oracles.
+
+Mirrors `/root/reference/tests/test_measurements.py`.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pxmcmc_tpu.measurements import Identity, PathIntegral, WeakLensing, WeakLensingHarmonic
+from pxmcmc_tpu.ops import sampling, sht
+from tests.conftest import make_real_flm
+
+
+def test_identity_roundtrip_and_padding():
+    ident = Identity(5, 5)
+    x = jnp.arange(5.0)
+    assert np.array_equal(np.asarray(ident.forward(x)), np.asarray(x))
+    rect = Identity(3, 5)
+    assert np.array_equal(np.asarray(rect.forward(x)), [0, 1, 2])
+    y = jnp.arange(3.0)
+    assert np.array_equal(np.asarray(rect.adjoint(y)), [0, 1, 2, 0, 0])
+
+
+def test_pathintegral_dot(L, rng):
+    """Adjoint dot-test with a real bandlimited image (ref test:8-29)."""
+    npix = sampling.sample_length(L)
+    pathmatrix = rng.random((100, npix)) * (rng.random((100, npix)) < 0.1)
+    pathint = PathIntegral(pathmatrix)
+    basis = sht.get_basis(L, 0, use_disk_cache=False)
+    x = np.asarray(sht.inverse(make_real_flm(L, rng), basis)).real.flatten()
+    yt = np.asarray(pathint.forward(jnp.asarray(x)))
+    y = rng.random(100)
+    xt = np.asarray(pathint.adjoint(jnp.asarray(y)))
+    assert np.isclose(np.vdot(y, yt), np.vdot(xt, x))
+
+
+def test_pathintegral_fwd_weights(L):
+    """Integrating 1 along the equator gives 2 pi (ref test:32-45)."""
+    pathmatrix = np.zeros(sampling.sample_shape(L))
+    piby2_index = sampling.theta_to_index(np.pi / 2, L)
+    pathmatrix[piby2_index, :] = 1
+    pathmatrix = pathmatrix.flatten()[None, :]
+    spacing_in_phi = sampling.sample_positions(L)[1][1]
+    pathint = PathIntegral(pathmatrix * spacing_in_phi)
+    X = jnp.ones(sampling.sample_length(L))
+    pred = np.asarray(pathint.forward(X))
+    assert np.isclose(pred, 2 * np.pi)
+
+
+def test_weaklensingharmonic_dot(L, rng):
+    operator = WeakLensingHarmonic(L)
+    klm = rng.random(L * L) + 1j * rng.random(L * L)
+    klm[:4] = 0
+    glm = rng.random(L * L) + 1j * rng.random(L * L)
+    glm[:4] = 0
+    k_to_g = np.asarray(operator.forward(jnp.asarray(klm)))
+    g_to_k = np.asarray(operator.adjoint(jnp.asarray(glm)))
+    assert np.count_nonzero(k_to_g) > 0 and np.count_nonzero(g_to_k) > 0
+    assert np.isclose(abs(np.vdot(klm, g_to_k)), abs(np.vdot(glm, k_to_g)))
+
+
+def test_weaklensingharmonic_sks_inverts_forward(L, rng):
+    operator = WeakLensingHarmonic(L)
+    klm = rng.random(L * L) + 1j * rng.random(L * L)
+    klm[:4] = 0
+    rec = np.asarray(operator.sks_estimate(operator.forward(jnp.asarray(klm))))
+    assert np.allclose(rec, klm)
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_weaklensing_dot(L, rng, masked):
+    """Pixel-space WL adjoint dot-test, optionally with a random mask
+    (ref test:73-130)."""
+    if masked:
+        mask = np.zeros(L * (2 * L - 1), dtype=int)
+        mask[: int(0.5 * mask.size)] = 1
+        rng.shuffle(mask)
+        mask = mask.reshape((L, 2 * L - 1))
+    else:
+        mask = None
+    operator = WeakLensing(L, mask=mask)
+
+    basis0 = sht.get_basis(L, 0, use_disk_cache=False)
+    klm = rng.random(L * L) + 1j * rng.random(L * L)
+    klm[:4] = 0
+    kappa = np.asarray(sht.inverse(jnp.asarray(klm), basis0)).flatten()
+    glm = rng.random(L * L) + 1j * rng.random(L * L)
+    glm[:4] = 0
+    gamma = np.asarray(
+        operator.mask_forward(sht.inverse(jnp.asarray(glm), basis0).flatten())
+    )
+
+    k_to_g = np.asarray(operator.forward(jnp.asarray(kappa)))
+    g_to_k = np.asarray(operator.adjoint(jnp.asarray(gamma)))
+    assert np.count_nonzero(k_to_g) > 0 and np.count_nonzero(g_to_k) > 0
+    assert np.isclose(abs(np.vdot(kappa, g_to_k)), abs(np.vdot(gamma, k_to_g)))
+
+
+def test_weaklensing_batched(L, rng):
+    operator = WeakLensing(L)
+    kappa = rng.random((3, L * (2 * L - 1)))
+    out = np.asarray(operator.forward(jnp.asarray(kappa)))
+    assert out.shape == (3, operator.ndata)
+    single = np.asarray(operator.forward(jnp.asarray(kappa[1])))
+    assert np.allclose(out[1], single)

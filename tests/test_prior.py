@@ -1,0 +1,85 @@
+"""Prior / prox tests (mirrors `/root/reference/tests/test_proxes.py`)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pxmcmc_tpu.prior import L1, S2_Wavelets_L1, S2_Wavelets_L1_Power_Weights
+from pxmcmc_tpu.utils import soft
+
+
+@pytest.fixture
+def L1regulariser(setting):
+    identity = lambda X: X
+    return L1(setting, identity, identity, 50)
+
+
+def test_L1(L1regulariser):
+    X = jnp.arange(100.0)
+    expected = np.asarray(soft(X, L1regulariser.T))
+    assert np.allclose(np.asarray(L1regulariser.proxf(X)), expected)
+
+
+def test_L1_prior_batched(L1regulariser):
+    X = jnp.asarray([[1.0, -2.0, 3.0], [0.0, 0.0, 1.0]])
+    assert np.allclose(np.asarray(L1regulariser.prior(X)), [6.0, 1.0])
+
+
+def test_L1_analysis_prox_identity_ops():
+    """With identity transform handles, analysis prox == synthesis prox."""
+    ident = lambda X: X
+    reg_a = L1("analysis", ident, ident, 2.0)
+    reg_s = L1("synthesis", ident, ident, 2.0)
+    X = jnp.asarray([-5.0, -1.0, 0.5, 3.0])
+    assert np.allclose(np.asarray(reg_a.proxf(X)), np.asarray(reg_s.proxf(X)))
+
+
+@pytest.mark.parametrize(
+    "setting2",
+    [
+        "synthesis",
+        pytest.param(
+            "analysis",
+            marks=pytest.mark.xfail(
+                reason="Analysis prox not implemented (parity with reference prior.py:79-80)"
+            ),
+        ),
+    ],
+)
+def test_S2_Wavelets_L1(setting2, L, B, J_min):
+    reg = S2_Wavelets_L1(setting2, None, None, 1, L, B, J_min)
+    data = jnp.ones(reg.map_weights.size)
+    out = np.asarray(reg.proxf(data))
+    assert out.shape == (reg.map_weights.size,)
+    assert np.isfinite(out).all()
+    # threshold carries the quadrature weights
+    assert np.allclose(np.asarray(reg.T), np.asarray(reg.map_weights))
+
+
+@pytest.mark.parametrize(
+    "setting2",
+    [
+        "synthesis",
+        pytest.param(
+            "analysis",
+            marks=pytest.mark.xfail(reason="Analysis prox not implemented"),
+        ),
+    ],
+)
+def test_S2_Wavelets_L1_Power_Weights(setting2, L, B, J_min):
+    reg = S2_Wavelets_L1_Power_Weights(setting2, None, None, 1, L, B, J_min, eta=1)
+    data = jnp.ones(reg.map_weights.size)
+    out = np.asarray(reg.proxf(data))
+    assert out.shape == (reg.map_weights.size,)
+    assert np.isfinite(out).all()
+
+
+def test_soft_complex():
+    ins = jnp.asarray([1 + 1j, 0.5 - 0.5j, 0.0])
+    outs = np.asarray(soft(ins, 1))
+    expected = [(1 + 1j) * (np.sqrt(2) - 1) / np.sqrt(2), 0, 0]
+    assert np.allclose(outs, expected)
+
+
+def test_soft_real():
+    assert np.allclose(np.asarray(soft(jnp.asarray([1.0, 2, 3]), 2)), [0, 0, 1])
+    assert np.allclose(np.asarray(soft(jnp.asarray([-1.0, -2, -3]), 2)), [0, 0, -1])
