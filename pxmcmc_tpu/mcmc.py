@@ -28,6 +28,7 @@ Differences from the reference, by design:
 """
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import partial
 
@@ -162,18 +163,33 @@ class PxMCMC:
         extras = " - ".join(f"{k}: {np.mean(v):.8e}" for k, v in kwargs.items())
         print(f"{j+1:,}/{self.nsamples:,} - logposterior: {np.mean(logpi):.8e} - {extras}")
 
-    def run(self, start_point=None):
+    def run(self, start_point=None, mesh=None, checkpoint_path=None, checkpoint_every=None):
         """Run the chain; fills the tracking arrays (host numpy).
 
         Executes as a Python loop over superblocks, each one jitted scan of
         ``block * gap`` steps, with thinned samples offloaded to host — the
         streaming replacement for the reference's all-in-RAM tracking arrays
         (``mcmc.py:113-128``).
+
+        :param mesh: optional ``jax.sharding.Mesh`` with a 'chains' axis —
+            state is sharded across it and XLA partitions every step
+        :param checkpoint_path: optional ``.npz`` path for periodic
+            checkpointing; if the file exists the run resumes from it
+        :param checkpoint_every: checkpoint cadence in saved samples
+            (default: once per superblock)
         """
         key = jax.random.key(self.seed)
         key, init_key = jax.random.split(key)
         X, preds = self._initial_sample(start_point, init_key)
         state = self._init_state(X, preds)
+        if mesh is not None:
+            from .parallel.mesh import shard_chain_pytree
+
+            if self.nchains % mesh.size != 0:
+                raise ValueError(
+                    f"nchains={self.nchains} must divide over {mesh.size} devices"
+                )
+            state = shard_chain_pytree(state, mesh)
 
         step = self._build_step()
         gap = self._gap
@@ -205,6 +221,13 @@ class PxMCMC:
         self._alloc_tracking()
         block = max(1, min(self.nsamples, int(4e6) // max(self.forward.nparams, 1) + 1))
         j = 0
+        if checkpoint_path is not None and os.path.exists(checkpoint_path):
+            from .parallel.checkpoint import load_checkpoint
+
+            state, key, j, tracking = load_checkpoint(checkpoint_path, state)
+            for name, arr in tracking.items():
+                getattr(self, name)[: arr.shape[0]] = arr
+        next_ckpt = j + (checkpoint_every or block)
         while j < self.nsamples:
             nblk = min(block, self.nsamples - j)
             key, skey = jax.random.split(key)
@@ -214,8 +237,20 @@ class PxMCMC:
             j += nblk
             if self.verbosity > 0:
                 self._progress(j, recs)
+            if checkpoint_path is not None and (j >= next_ckpt or j >= self.nsamples):
+                from .parallel.checkpoint import save_checkpoint
+
+                save_checkpoint(checkpoint_path, state, key, j, self._tracking_dict(j))
+                next_ckpt = j + (checkpoint_every or block)
         print("\nDONE")
         return self
+
+    def _tracking_dict(self, j):
+        out = {}
+        for name in ("logPi", "L2s", "priors", "chain", "preds"):
+            if hasattr(self, name):
+                out[name] = getattr(self, name)[:j]
+        return out
 
     def _progress(self, j, recs):
         if "logposterior" in self.track:

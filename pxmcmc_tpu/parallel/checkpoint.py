@@ -1,0 +1,60 @@
+r"""Periodic checkpoint/resume of sampler runs.
+
+Beyond-reference capability (SURVEY.md §5: the reference saves once after
+``run()`` returns, so a crash loses everything).  A checkpoint captures the
+full chain state pytree, the PRNG key, the sample counter, and the tracking
+arrays accumulated so far; ``PxMCMC.run(checkpoint_path=...)`` resumes
+exactly where it stopped.
+"""
+from __future__ import annotations
+
+import json
+import os
+
+import jax
+import numpy as np
+
+_META = "__meta__"
+
+
+def _flatten_state(state):
+    leaves, treedef = jax.tree_util.tree_flatten(state)
+    return leaves, treedef
+
+
+def save_checkpoint(path, state, key, j, tracking: dict):
+    """Atomically write a checkpoint npz."""
+    leaves, _ = _flatten_state(state)
+    payload = {f"state_{i}": np.asarray(jax.device_get(x)) for i, x in enumerate(leaves)}
+    payload["key_data"] = np.asarray(jax.random.key_data(key))
+    for name, arr in tracking.items():
+        payload[f"track_{name}"] = arr
+    payload[_META] = np.frombuffer(
+        json.dumps({"j": int(j), "nleaves": len(leaves), "tracks": list(tracking)}).encode(),
+        dtype=np.uint8,
+    )
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **payload)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path, state_template):
+    """Restore (state, key, j, tracking) from a checkpoint.
+
+    ``state_template`` supplies the pytree structure (and device placement /
+    sharding via its leaves' shardings).
+    """
+    with np.load(path) as z:
+        meta = json.loads(bytes(z[_META].tobytes()).decode())
+        leaves, treedef = _flatten_state(state_template)
+        new_leaves = []
+        for i, tmpl in enumerate(leaves):
+            arr = z[f"state_{i}"]
+            x = jax.numpy.asarray(arr, dtype=tmpl.dtype)
+            if hasattr(tmpl, "sharding"):
+                x = jax.device_put(x, tmpl.sharding)
+            new_leaves.append(x)
+        state = jax.tree_util.tree_unflatten(treedef, new_leaves)
+        key = jax.random.wrap_key_data(jax.numpy.asarray(z["key_data"]))
+        tracking = {name: z[f"track_{name}"] for name in meta["tracks"]}
+    return state, key, meta["j"], tracking

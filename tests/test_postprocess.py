@@ -1,0 +1,144 @@
+"""Saving, uncertainty, diagnostics, plotting tests."""
+import os
+
+import numpy as np
+import pytest
+
+from pxmcmc_tpu import diagnostics, plotting, uncertainty
+from pxmcmc_tpu.forward import ForwardOperator
+from pxmcmc_tpu.mcmc import MYULA, PxMALA, PxMCMCParams
+from pxmcmc_tpu.measurements import Identity
+from pxmcmc_tpu.ops.sampling import sample_length
+from pxmcmc_tpu.prior import L1
+from pxmcmc_tpu.saving import load_mcmc, save_mcmc
+from pxmcmc_tpu.transforms import IdentityTransform
+
+
+@pytest.fixture
+def small_run(simpledata):
+    n = len(simpledata)
+    fwd = ForwardOperator(
+        simpledata, 0.1, "synthesis", IdentityTransform(), Identity(n, n), nparams=n
+    )
+    prox = L1("synthesis", None, None, 1)
+    params = PxMCMCParams(nsamples=20, nburn=5, ngap=2, verbosity=0)
+    mcmc = PxMALA(fwd, prox, params)
+    mcmc.run()
+    return mcmc, params
+
+
+def test_save_load_roundtrip(small_run, tmp_path):
+    mcmc, params = small_run
+    save_mcmc(mcmc, params, str(tmp_path), filename="out", L=10, setting="synthesis")
+    data, attrs = load_mcmc(os.path.join(str(tmp_path), "out.hdf5"))
+    assert data["chain"].shape == (20, mcmc.forward.nparams)  # chain axis squeezed
+    assert data["logposterior"].shape == (20,)
+    assert "acceptances" in data and "deltas" in data
+    assert attrs["nsamples"] == 20 and attrs["L"] == 10
+    assert attrs["setting"] == "synthesis"
+
+
+def test_credible_interval_range():
+    rng = np.random.default_rng(0)
+    chain = rng.normal(0, [1.0, 2.0, 0.5], size=(20000, 3))
+    ci = uncertainty.credible_interval_range(chain, alpha=0.05)
+    expected = 2 * 1.959964 * np.array([1.0, 2.0, 0.5])
+    assert np.allclose(ci, expected, rtol=0.05)
+
+
+def test_credible_interval_range_device_matches_numpy():
+    rng = np.random.default_rng(0)
+    chain = rng.normal(size=(500, 7))
+    a = uncertainty.credible_interval_range(chain)
+    b = np.asarray(uncertainty.credible_interval_range_device(__import__("jax").numpy.asarray(chain)))
+    assert np.allclose(a, b, atol=1e-10)
+
+
+def test_wavelet_credible_interval_range(L, B, J_min, rng):
+    from pxmcmc_tpu.ops.wavelets import multires_bandlimits
+
+    bls = multires_bandlimits(L, B, J_min)
+    ncoefs = sum(sample_length(int(b)) for b in bls)
+    chain = rng.normal(size=(100, ncoefs))
+    maps = uncertainty.wavelet_credible_interval_range(chain, L, B, J_min)
+    assert len(maps) == len(bls)
+    for m, bl in zip(maps, bls):
+        assert m.shape == (int(bl), 2 * int(bl) - 1)
+
+
+def test_credible_region_threshold():
+    logpis = np.arange(100.0)
+    t = uncertainty.credible_region_threshold(logpis, alpha=0.05)
+    assert np.isclose(t, np.quantile(logpis, 0.95))
+    assert uncertainty.in_credible_region(t - 1, t)
+    assert not uncertainty.in_credible_region(t + 1, t)
+
+
+def test_ess_iid_near_n():
+    rng = np.random.default_rng(0)
+    chain = rng.normal(size=(2000, 2, 3))
+    ess = diagnostics.effective_sample_size(chain)
+    assert ess.shape == (3,)
+    assert np.all(ess > 2000)  # iid over 2 chains of 2000: ~4000
+
+
+def test_ess_correlated_much_smaller():
+    rng = np.random.default_rng(0)
+    n = 5000
+    x = np.zeros((n, 1, 1))
+    for i in range(1, n):
+        x[i] = 0.99 * x[i - 1] + rng.normal() * 0.1
+    ess = diagnostics.effective_sample_size(x)
+    assert ess[0] < n / 20
+
+
+def test_split_rhat():
+    rng = np.random.default_rng(0)
+    good = rng.normal(size=(2000, 4, 2))
+    r = diagnostics.split_rhat(good)
+    assert np.all(np.abs(r - 1) < 0.02)
+    bad = good.copy()
+    bad[:, 0, :] += 10  # one chain stuck elsewhere
+    r_bad = diagnostics.split_rhat(bad)
+    assert np.all(r_bad > 1.5)
+
+
+def test_moment_combine():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.normal(size=(100, 5)))
+    b = jnp.asarray(rng.normal(size=(60, 5)))
+    na, ma, m2a = diagnostics.chain_moments(a)
+    nb, mb, m2b = diagnostics.chain_moments(b)
+    n, m, m2 = diagnostics.combine_moments(na, ma, m2a, nb, mb, m2b)
+    full = np.concatenate([np.asarray(a), np.asarray(b)])
+    assert n == 160
+    assert np.allclose(np.asarray(m), full.mean(axis=0))
+    assert np.allclose(np.asarray(m2) / n, full.var(axis=0))
+
+
+def test_plotting_smoke(L, simpledata, B, J_min, tmp_path):
+    f = np.asarray(simpledata).reshape(L, 2 * L - 1)
+    fig = plotting.plot_map(f, title="t", oversample=False)
+    fig.savefig(os.path.join(str(tmp_path), "m.png"))
+    img, mask = plotting.mollweide_projection(f, L, resolution=50)
+    assert img.shape == (50, 100)
+    assert np.isnan(img[0, 0])  # corners outside the ellipse
+    assert np.isfinite(img[25, 50])  # centre inside
+    figs = plotting.plot_wavelet_maps(f, L, B, J_min, oversample=False)
+    assert len(figs) >= 2
+    fig = plotting.plot_evolution(
+        np.arange(1.0, 21), np.ones(20), np.ones(20)
+    )
+    fig = plotting.plot_chain_sample(np.arange(10) + 1j * np.arange(10))
+
+
+def test_oversample(L, simpledata):
+    f = np.asarray(simpledata).reshape(L, 2 * L - 1)
+    big = plotting._oversample(f, 32)
+    assert big.shape == (32, 63)
+    # oversampling preserves the spectrum: integral preserved
+    from pxmcmc_tpu.ops.sampling import s2_integrate
+
+    assert np.isclose(s2_integrate(big.flatten(), 32), s2_integrate(f.flatten(), L), atol=1e-8)
