@@ -129,7 +129,7 @@ def get_basis(L: int, spin: int = 0, dtype=None, use_disk_cache: bool = True) ->
     else:
         lam64, q64 = _precompute(L, spin)
         if use_disk_cache and L >= 64:
-            tmp = path + ".tmp"
+            tmp = path + ".tmp.npz"
             np.savez(tmp, lam=lam64, q=q64)
             os.replace(tmp, path)
 

@@ -133,12 +133,24 @@ def wigner_d_table(L: int, n: int, thetas: np.ndarray) -> np.ndarray:
     return out
 
 
-def spin_lambda_table(L: int, spin: int, thetas: np.ndarray) -> np.ndarray:
+def spin_lambda_table(
+    L: int, spin: int, thetas: np.ndarray, use_native: bool = True
+) -> np.ndarray:
     """s_lambda_{l m}(theta) = (-1)^s sqrt((2l+1)/4pi) d^l_{m,-s}(theta).
 
-    Shape (2L-1, T, L) indexed [m + L - 1, t, l]; real.
+    Shape (2L-1, T, L) indexed [m + L - 1, t, l]; real.  Uses the C++/OpenMP
+    core from :mod:`pxmcmc_tpu.native` when available.
     """
-    d = wigner_d_table(L, -spin, thetas)
+    d = None
+    if use_native:
+        try:
+            from ..native import wigner_d_table_native
+
+            d = wigner_d_table_native(L, -spin, np.asarray(thetas, dtype=np.float64))
+        except ImportError:
+            pass
+    if d is None:
+        d = wigner_d_table(L, -spin, thetas)
     ls = np.arange(L)
     norm = (-1.0) ** spin * np.sqrt((2 * ls + 1) / (4.0 * np.pi))
     return d * norm[None, None, :]
