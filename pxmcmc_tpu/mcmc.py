@@ -55,6 +55,11 @@ class PxMCMCParams:
     :param verbosity: print progress every ``verbosity`` iterations (0 = quiet)
     :param track: subset of {logposterior, predictions, chain, L2, prior}
     :param nchains: number of parallel chains (vmapped; beyond-reference)
+    :param fused_step: use the Pallas fused prox+update+noise kernel
+        (:mod:`pxmcmc_tpu.ops.threshold`) for real-valued MYULA with a
+        synthesis soft-threshold prior; noise comes from the on-core PRNG so
+        sample streams differ from (but are identically distributed to) the
+        default path
     """
 
     def __init__(
@@ -70,6 +75,7 @@ class PxMCMCParams:
         verbosity=100,
         track=("logposterior", "L2", "prior", "chain"),
         nchains=1,
+        fused_step=False,
     ):
         self.lmda = lmda
         self.delta = delta
@@ -82,6 +88,7 @@ class PxMCMCParams:
         self.verbosity = int(verbosity)
         self.track = list(track)
         self.nchains = int(nchains)
+        self.fused_step = bool(fused_step)
 
 
 class PxMCMC:
@@ -347,6 +354,24 @@ class MYULA(PxMCMC):
         )
 
     def _build_step(self):
+        if self._can_fuse():
+            import jax.numpy as jnp
+
+            from .ops.threshold import myula_fused_step
+
+            T = self.prior.T
+
+            def step(state, key):
+                gradg = self._cast(self.forward.calc_gradg(state.preds))
+                seed = jax.random.randint(key, (), 0, jnp.iinfo(jnp.int32).max)
+                X = myula_fused_step(
+                    state.X, gradg, T, self.delta, self.lmda, seed
+                )
+                preds = self.forward.forward(X)
+                return ChainState(X=X, preds=preds), ()
+
+            return step
+
         def step(state, key):
             gradg = self._cast(self.forward.calc_gradg(state.preds))
             proxf = self.prior.proxf(state.X)
@@ -356,6 +381,18 @@ class MYULA(PxMCMC):
             return ChainState(X=X, preds=preds), ()
 
         return step
+
+    def _can_fuse(self) -> bool:
+        """Fused Pallas step applies to real-valued synthesis soft-threshold
+        priors on TPU backends only — the Pallas interpreter used on CPU stubs
+        the on-core PRNG to zeros, which would silently disable the noise."""
+        return (
+            getattr(self, "fused_step", False)
+            and not self.complex
+            and getattr(self.prior, "setting", None) == "synthesis"
+            and hasattr(self.prior, "T")
+            and jax.default_backend() != "cpu"
+        )
 
 
 # ---------------------------------------------------------------------------
