@@ -73,12 +73,20 @@ def build_step(L, nchains, seed=0):
 def measure(L, nchains, niter, nrep=3):
     import jax
 
-    sampler, state, step = build_step(L, nchains)
+    from pxmcmc_tpu.capture import CaptureThreader
 
-    @jax.jit
-    def block(state, keys):
+    sampler, state, step = build_step(L, nchains)
+    threader = CaptureThreader([sampler.forward, sampler.prior])
+    captures = threader.get()
+
+    def _block(state, keys):
         state, _ = jax.lax.scan(step, state, keys)
         return state
+
+    block_j = jax.jit(threader.wrap(_block))
+
+    def block(state, keys):
+        return block_j(captures, state, keys)
 
     key = jax.random.key(42)
     keys = jax.random.split(key, niter)

@@ -185,6 +185,8 @@ class PxMCMC:
         :param checkpoint_every: checkpoint cadence in saved samples
             (default: once per superblock)
         """
+        from .capture import CaptureThreader
+
         key = jax.random.key(self.seed)
         key, init_key = jax.random.split(key)
         X, preds = self._initial_sample(start_point, init_key)
@@ -198,31 +200,44 @@ class PxMCMC:
                 )
             state = shard_chain_pytree(state, mesh)
 
-        step = self._build_step()
+        # Every device table read through self.* becomes a jit argument, so
+        # compiled programs carry no embedded weight constants (capture.py).
+        threader = CaptureThreader([self.forward, self.prior])
+        captures = threader.get()
         gap = self._gap
 
-        def gap_block(state, key):
-            keys = jax.random.split(key, gap)
-            state, traces = jax.lax.scan(step, state, keys)
-            rec = self._record(state)
-            return state, (rec, traces)
+        # NOTE: the scan body is rebuilt *inside* each traced function —
+        # lax.scan caches traced body jaxprs by function identity, and a body
+        # shared across two outer jits would resurrect dead tracers from the
+        # first trace (its captured attributes) inside the second.
+        def _superblock(state, key, nblk):
+            step = self._build_step()
 
-        @partial(jax.jit, static_argnums=2)
-        def superblock(state, key, nblk):
+            def gap_block(state, key):
+                keys = jax.random.split(key, gap)
+                state, traces = jax.lax.scan(step, state, keys)
+                rec = self._record(state)
+                return state, (rec, traces)
+
             keys = jax.random.split(key, nblk)
             state, (recs, traces) = jax.lax.scan(gap_block, state, keys)
             return state, recs, traces
 
+        superblock_j = jax.jit(threader.wrap(_superblock), static_argnums=3)
+
+        def superblock(state, key, nblk):
+            return superblock_j(captures, state, key, nblk)
+
         # burn-in
         if self.nburn > 0:
-            jax.jit
-            def burn(state, key):
+            def _burn(state, key):
                 keys = jax.random.split(key, self.nburn)
-                state, _ = jax.lax.scan(step, state, keys)
+                state, _ = jax.lax.scan(self._build_step(), state, keys)
                 return state
 
+            burn = jax.jit(threader.wrap(_burn))
             key, bkey = jax.random.split(key)
-            state = burn(state, bkey)
+            state = burn(captures, state, bkey)
 
         # sampling in superblocks
         self._alloc_tracking()
@@ -359,13 +374,13 @@ class MYULA(PxMCMC):
 
             from .ops.threshold import myula_fused_step
 
-            T = self.prior.T
-
             def step(state, key):
                 gradg = self._cast(self.forward.calc_gradg(state.preds))
                 seed = jax.random.randint(key, (), 0, jnp.iinfo(jnp.int32).max)
+                # read self.prior.T at trace time so it threads through the
+                # capture machinery instead of binding a constant
                 X = myula_fused_step(
-                    state.X, gradg, T, self.delta, self.lmda, seed
+                    state.X, gradg, self.prior.T, self.delta, self.lmda, seed
                 )
                 preds = self.forward.forward(X)
                 return ChainState(X=X, preds=preds), ()
