@@ -88,17 +88,25 @@ def measure(L, nchains, niter, nrep=3):
     def block(state, keys):
         return block_j(captures, state, keys)
 
+    def sync(state):
+        # On the tunnelled TPU backend block_until_ready can return before
+        # remote execution finishes; a dependent scalar readback is the only
+        # reliable completion barrier.
+        return float(jax.numpy.sum(state.X[:, 0]))
+
     key = jax.random.key(42)
     keys = jax.random.split(key, niter)
     log(f"compile + warmup (L={L}, chains={nchains}, niter={niter})...")
     t0 = time.time()
-    state = jax.block_until_ready(block(state, keys))
+    state = block(state, keys)
+    sync(state)
     log(f"  warmup {time.time()-t0:.1f}s")
     best = 0.0
     for r in range(nrep):
         keys = jax.random.split(jax.random.fold_in(key, r), niter)
         t0 = time.time()
-        state = jax.block_until_ready(block(state, keys))
+        state = block(state, keys)
+        sync(state)
         dt = time.time() - t0
         rate = nchains * niter / dt
         log(f"  rep {r}: {dt:.3f}s -> {rate:,.0f} chain-iters/s")

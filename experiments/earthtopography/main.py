@@ -61,18 +61,11 @@ def load_topo(infile, L):
     """
     if os.path.exists(infile) and "_hpx_" in infile:
         import healpy as hp
-        from pxmcmc_tpu.utils import suppress_stdout  # noqa: F401
+
+        from pxmcmc_tpu.utils import healpy_lm_to_mw_lm, map2alm
 
         topo = hp.read_map(infile)
-        topo_d_lm = hp.map2alm(topo, L - 1)
-        # healpy lm ordering -> ssht ordering with conjugate symmetry
-        flm = np.zeros(L * L, dtype=complex)
-        for el in range(L):
-            for m in range(el + 1):
-                a = topo_d_lm[hp.Alm.getidx(L - 1, el, m)]
-                flm[sht.elm2ind(el, m)] = a
-                if m:
-                    flm[sht.elm2ind(el, -m)] = (-1) ** m * np.conj(a)
+        flm = healpy_lm_to_mw_lm(map2alm(topo, L - 1), L)
         basis = sht.get_basis(L, 0)
         return np.asarray(sht.inverse(flm, basis)).real.reshape(-1)
     if os.path.exists(infile) and "_mw_" in infile:

@@ -45,16 +45,10 @@ def load_gammas(kappa_fits_file, L, wl: WeakLensing, seed=13):
     if os.path.exists(kappa_fits_file):
         import healpy as hp
 
+        from pxmcmc_tpu.utils import healpy_lm_to_mw_lm, map2alm
+
         kappa = hp.read_map(kappa_fits_file)
-        lmax = L - 1
-        kappa_lm = hp.map2alm(kappa, lmax=lmax)
-        flm = np.zeros(L * L, dtype=complex)
-        for el in range(L):
-            for m in range(el + 1):
-                a = kappa_lm[hp.Alm.getidx(lmax, el, m)]
-                flm[sht.elm2ind(el, m)] = a
-                if m:
-                    flm[sht.elm2ind(el, -m)] = (-1) ** m * np.conj(a)
+        flm = healpy_lm_to_mw_lm(map2alm(kappa, L - 1), L)
     else:
         print(f"[synthetic] {kappa_fits_file} not found; generating synthetic kappa")
         rng = np.random.default_rng(seed)

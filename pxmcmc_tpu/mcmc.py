@@ -29,6 +29,7 @@ Differences from the reference, by design:
 from __future__ import annotations
 
 import os
+import time
 from dataclasses import dataclass
 from functools import partial
 
@@ -170,7 +171,14 @@ class PxMCMC:
         extras = " - ".join(f"{k}: {np.mean(v):.8e}" for k, v in kwargs.items())
         print(f"{j+1:,}/{self.nsamples:,} - logposterior: {np.mean(logpi):.8e} - {extras}")
 
-    def run(self, start_point=None, mesh=None, checkpoint_path=None, checkpoint_every=None):
+    def run(
+        self,
+        start_point=None,
+        mesh=None,
+        checkpoint_path=None,
+        checkpoint_every=None,
+        profile_dir=None,
+    ):
         """Run the chain; fills the tracking arrays (host numpy).
 
         Executes as a Python loop over superblocks, each one jitted scan of
@@ -184,6 +192,13 @@ class PxMCMC:
             checkpointing; if the file exists the run resumes from it
         :param checkpoint_every: checkpoint cadence in saved samples
             (default: once per superblock)
+        :param profile_dir: if set, capture a ``jax.profiler`` trace of one
+            superblock into this directory (beyond-reference; SURVEY.md §5
+            notes the reference has no tracing at all)
+
+        After the run, ``self.runtime_seconds`` and
+        ``self.iterations_per_second`` (aggregate chain-iterations/s, warm
+        superblocks only) hold throughput observability data.
         """
         from .capture import CaptureThreader
 
@@ -250,10 +265,28 @@ class PxMCMC:
             for name, arr in tracking.items():
                 getattr(self, name)[: arr.shape[0]] = arr
         next_ckpt = j + (checkpoint_every or block)
+        t_start = time.time()
+        warm_iters = 0
+        warm_time = 0.0
+        profiled = False
         while j < self.nsamples:
             nblk = min(block, self.nsamples - j)
             key, skey = jax.random.split(key)
-            state, recs, traces = superblock(state, skey, nblk)
+            if profile_dir is not None and not profiled and j > 0:
+                profiled = True
+                with jax.profiler.trace(profile_dir):
+                    t0 = time.time()
+                    state, recs, traces = superblock(state, skey, nblk)
+                    jax.block_until_ready(state.X)
+                    dt = time.time() - t0
+            else:
+                t0 = time.time()
+                state, recs, traces = superblock(state, skey, nblk)
+                jax.block_until_ready(state.X)
+                dt = time.time() - t0
+            if j > 0:  # skip the compile superblock for throughput stats
+                warm_iters += nblk * gap * self.nchains
+                warm_time += dt
             recs = jax.device_get(recs)
             self._store_tracking(j, nblk, recs, jax.device_get(traces))
             j += nblk
@@ -264,6 +297,16 @@ class PxMCMC:
 
                 save_checkpoint(checkpoint_path, state, key, j, self._tracking_dict(j))
                 next_ckpt = j + (checkpoint_every or block)
+        self.runtime_seconds = time.time() - t_start
+        self.iterations_per_second = (
+            warm_iters / warm_time if warm_time > 0 else
+            self.nsamples * gap * self.nchains / max(self.runtime_seconds, 1e-9)
+        )
+        if self.verbosity > 0:
+            print(
+                f"throughput: {self.iterations_per_second:,.1f} chain-iterations/s "
+                f"({self.nchains} chains)"
+            )
         print("\nDONE")
         return self
 
@@ -464,16 +507,30 @@ class PxMALA(MYULA):
     def calc_logtransition(self, X1, X2, proxf, gradg, delta):
         """log q(X2 | X1) of the MYULA proposal kernel (ref ``mcmc.py:281-289``).
 
-        Proposal mean m = X1 + (delta/2) gradlogpi(X1); the Gaussian exponent
-        is -||X2 - m||^2 / (4 delta) (covariance 2 delta I).  The reference's
-        expression squares the sum and scales by delta/2 (``mcmc.py:286-289``)
-        — a transcription slip that breaks detailed balance; we use the exact
-        kernel.
+        The proposal (``chain_step``) is X2 = X1 + delta * gradlogpi(X1) +
+        sqrt(2 delta) w, so q is Gaussian with mean m = X1 + delta * gradlogpi
+        and covariance 2 delta I: log q = -||X2 - m||^2 / (4 delta).  The
+        reference's expression uses a half-step mean, squares the summed
+        square, and scales by delta/2 (``mcmc.py:286-289``) — transcription
+        slips that break detailed balance; we use the exact kernel.
         """
         gradlogpiX1 = -((X1 - proxf) / self.lmda) - gradg
-        m = X1 + (delta[..., None] / 2) * gradlogpiX1
+        m = X1 + delta[..., None] * gradlogpiX1
         r = X2 - m
         return -jnp.sum(jnp.abs(r) ** 2, axis=-1) / (4 * delta)
+
+    def _logtarget(self, prior, L2):
+        """log of the density the MH step corrects toward.
+
+        The proposal drift uses gradg = grad(L2/2) — the exact gradient of
+        the Gaussian log-likelihood -L2/2 — so the matching target is
+        -mu*prior - L2/2.  (The reference accepts against its reported
+        ``logpi`` = -mu*prior - L2, double-counting the fidelity relative to
+        its own drift; its MYULA and PxMALA therefore sample *different*
+        posteriors.  Here both samplers target exp(-mu*prior - L2/2); the
+        reported/saved ``logposterior`` keeps the reference's convention.)
+        """
+        return -self.mu * prior - L2 / 2
 
     def _tune(self, delta, accept, it):
         """Robbins-Monro toward 0.5 acceptance, clamped (ref ``mcmc.py:277-279``)."""
@@ -502,7 +559,12 @@ class PxMALA(MYULA):
             logtransXpXc = self.calc_logtransition(
                 X_prop, state.X, proxf_prop, gradg_prop, state.delta
             )
-            logalpha = logtransXpXc + logpiXp - logtransXcXp - state.logpi
+            logalpha = (
+                logtransXpXc
+                + self._logtarget(priorXp, L2Xp)
+                - logtransXcXp
+                - self._logtarget(state.prior, state.L2)
+            )
             u = jax.random.uniform(ka, logalpha.shape, dtype=real_dtype())
             accept = jnp.log(u) < logalpha
 

@@ -92,6 +92,10 @@ class SHTBasis:
     gather_ml: jax.Array  # (2L-1, L) int32: flm index (or L^2 sentinel) per (mi, l)
     flm_mi: jax.Array  # (L^2,) int32
     flm_l: jax.Array  # (L^2,) int32
+    # real-path (conjugate-symmetry) helpers, spin 0 only:
+    flm_absm: jax.Array  # (L^2,) int32: |m| per flm index
+    flm_isneg: jax.Array  # (L^2,) bool: m < 0
+    flm_sign: jax.Array  # (L^2,) real: (-1)^m where m < 0, else 1
 
     @property
     def nlm(self) -> int:
@@ -104,7 +108,10 @@ class SHTBasis:
 
 jax.tree_util.register_dataclass(
     SHTBasis,
-    data_fields=["lam", "q", "gather_ml", "flm_mi", "flm_l"],
+    data_fields=[
+        "lam", "q", "gather_ml", "flm_mi", "flm_l",
+        "flm_absm", "flm_isneg", "flm_sign",
+    ],
     meta_fields=["L", "spin"],
 )
 

@@ -7,6 +7,10 @@ re-exported here so users of the reference find them in the same place.
 """
 from __future__ import annotations
 
+import os
+import sys
+from contextlib import contextmanager
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -23,6 +27,55 @@ from .ops.sampling import (  # noqa: F401  (re-exports, reference utils.py:200-2
     weights_theta,
 )
 from .ops.wavelets import multires_bandlimits as _multires_bandlimits  # noqa: F401
+
+
+@contextmanager
+def suppress_stdout():
+    """Suppress stdout from noisy C extensions (ref ``utils.py:91-103``)."""
+    with open(os.devnull, "w") as devnull:
+        old_stdout = sys.stdout
+        sys.stdout = devnull
+        try:
+            yield
+        finally:
+            sys.stdout = old_stdout
+
+
+def map2alm(image, lmax, **kwargs):
+    """healpy.map2alm with stdout suppressed (ref ``utils.py:106-108``); needs healpy."""
+    import healpy as hp
+
+    with suppress_stdout():
+        return hp.map2alm(image, lmax, **kwargs)
+
+
+def alm2map(alm, nside, **kwargs):
+    """healpy.alm2map with stdout suppressed (ref ``utils.py:111-113``); needs healpy."""
+    import healpy as hp
+
+    with suppress_stdout():
+        return hp.alm2map(alm, nside, **kwargs)
+
+
+def healpy_lm_to_mw_lm(alm_hp, L):
+    """healpy packed alm (m >= 0) -> our flm layout with conjugate symmetry.
+
+    Equivalent of ``pys2let.lm_hp2lm`` as used at
+    ``/root/reference/experiments/earthtopography/main.py:82``.
+    """
+    flm = np.zeros(L * L, dtype=complex)
+    lmax = L - 1
+
+    def hp_idx(el, m):
+        return m * (2 * lmax + 1 - m) // 2 + el
+
+    for el in range(L):
+        for m in range(el + 1):
+            a = alm_hp[hp_idx(el, m)]
+            flm[el * el + el + m] = a
+            if m:
+                flm[el * el + el - m] = (-1) ** m * np.conj(a)
+    return flm
 
 
 def flatten_mlm(wav_lm, scal_lm):
