@@ -152,6 +152,7 @@ def get_basis(L: int, spin: int = 0, dtype=None, use_disk_cache: bool = True) ->
     flm_m = (inds - flm_l.astype(np.int64) ** 2 - flm_l).astype(np.int32)
     flm_mi = flm_m + (L - 1)
 
+    sign = np.where(flm_m < 0, (-1.0) ** np.abs(flm_m), 1.0)
     basis = SHTBasis(
         L=L,
         spin=spin,
@@ -160,6 +161,9 @@ def get_basis(L: int, spin: int = 0, dtype=None, use_disk_cache: bool = True) ->
         gather_ml=jnp.asarray(gather),
         flm_mi=jnp.asarray(flm_mi),
         flm_l=jnp.asarray(flm_l),
+        flm_absm=jnp.asarray(np.abs(flm_m)),
+        flm_isneg=jnp.asarray(flm_m < 0),
+        flm_sign=jnp.asarray(sign, dtype=dtype),
     )
     _BASIS_CACHE[key] = basis
     return basis
@@ -262,3 +266,74 @@ def forward_adjoint(flm: jax.Array, basis: SHTBasis) -> jax.Array:
     B = jnp.roll(B, -(L - 1), axis=-1)  # m -> k
     f = jnp.fft.ifft(B, axis=-1)  # adjoint of fft/N
     return f
+
+
+# ---------------------------------------------------------------------------
+# Real-field fast path (spin 0): conjugate symmetry f_{l,-m} = (-1)^m f_{lm}*
+# halves the m-range of the matmuls and replaces fft with rfft.  Each function
+# computes *exactly* the same linear operator as its complex counterpart
+# restricted to real maps / conjugate-symmetric coefficients, so all adjoint
+# relations and tests of the complex path carry over unchanged.
+# ---------------------------------------------------------------------------
+
+def _to_ml_pos(flm: jax.Array, basis: SHTBasis) -> jax.Array:
+    """(..., L^2) complex -> (..., L, L) [m >= 0, l] half-spectrum."""
+    pad = jnp.zeros(flm.shape[:-1] + (1,), dtype=flm.dtype)
+    flmp = jnp.concatenate([flm, pad], axis=-1)
+    return flmp[..., basis.gather_ml[basis.L - 1 :]]
+
+
+def _from_ml_pos(Gpos: jax.Array, basis: SHTBasis) -> jax.Array:
+    """Half-spectrum (..., L(m>=0), L(l)) -> full (..., L^2) via conjugate
+    symmetry (spin 0): f_{l,-m} = (-1)^m conj(f_{lm})."""
+    vals = Gpos[..., basis.flm_absm, basis.flm_l]
+    mirrored = jnp.conj(vals) * basis.flm_sign
+    return jnp.where(basis.flm_isneg, mirrored, vals)
+
+
+def inverse_real(flm: jax.Array, basis: SHTBasis) -> jax.Array:
+    """Real-output synthesis: equals ``inverse(flm).real`` for conjugate
+    -symmetric flm, at half the matmul cost.  (..., L^2) -> (..., L, 2L-1) real.
+    """
+    assert basis.spin == 0, "real path is spin-0 only"
+    L = basis.L
+    N = 2 * L - 1
+    F = _to_ml_pos(flm.astype(complex_dtype()), basis)  # (..., L(m), L(l))
+    T = _real_mat_complex_vec("mtl,...ml->...mt", basis.lam[L - 1 :], F)
+    f = N * jnp.fft.irfft(T, n=N, axis=-2)  # (..., N(p), L(t)) real
+    return jnp.swapaxes(f, -1, -2)
+
+
+def forward_real(f: jax.Array, basis: SHTBasis) -> jax.Array:
+    """Analysis of a real map: equals ``forward(f)`` for real f.
+    (..., L, 2L-1) real -> (..., L^2) complex (conjugate-symmetric)."""
+    assert basis.spin == 0
+    L = basis.L
+    N = 2 * L - 1
+    Fk = jnp.fft.rfft(f, axis=-1) / N  # (..., L(t), L(m>=0))
+    Fm = jnp.swapaxes(Fk, -1, -2)  # (..., L(m), L(t))
+    G = _real_mat_complex_vec("mlt,...mt->...ml", basis.q[L - 1 :], Fm)
+    return _from_ml_pos(G, basis)
+
+
+def inverse_adjoint_real(f: jax.Array, basis: SHTBasis) -> jax.Array:
+    """Equals ``inverse_adjoint(f)`` for real f; half-cost.
+    (..., L, 2L-1) real -> (..., L^2) complex (conjugate-symmetric)."""
+    assert basis.spin == 0
+    L = basis.L
+    A = jnp.fft.rfft(f, axis=-1)  # unscaled: adjoint of N*ifft, m >= 0 part
+    T = jnp.swapaxes(A, -1, -2)  # (..., L(m), L(t))
+    G = _real_mat_complex_vec("mtl,...mt->...ml", basis.lam[L - 1 :], T)
+    return _from_ml_pos(G, basis)
+
+
+def forward_adjoint_real(flm: jax.Array, basis: SHTBasis) -> jax.Array:
+    """Equals ``forward_adjoint(flm).real`` for conjugate-symmetric flm.
+    (..., L^2) -> (..., L, 2L-1) real."""
+    assert basis.spin == 0
+    L = basis.L
+    N = 2 * L - 1
+    F = _to_ml_pos(flm.astype(complex_dtype()), basis)
+    Ft = _real_mat_complex_vec("mlt,...ml->...mt", basis.q[L - 1 :], F)
+    B = jnp.swapaxes(Ft, -1, -2)  # (..., L(t), L(m))
+    return jnp.fft.irfft(B, n=N, axis=-1)  # 1/N scaling matches ifft

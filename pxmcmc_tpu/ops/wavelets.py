@@ -228,6 +228,24 @@ def _split_scales(X: jax.Array, wb: WaveletBasis):
     return blocks
 
 
+def _use_real_path(x: jax.Array, wb: WaveletBasis) -> bool:
+    """Real (spin-0) inputs take the conjugate-symmetry fast path: half the
+    matmul work, rfft instead of fft, real outputs.  Values are identical to
+    the complex path (see sht.py real-path docstrings)."""
+    return wb.spin == 0 and not jnp.issubdtype(x.dtype, jnp.complexfloating)
+
+
+def _sht_fns(real: bool):
+    if real:
+        return (
+            sht.forward_real,
+            sht.inverse_real,
+            sht.forward_adjoint_real,
+            sht.inverse_adjoint_real,
+        )
+    return sht.forward, sht.inverse, sht.forward_adjoint, sht.inverse_adjoint
+
+
 @jax.jit
 def analysis(f: jax.Array, wb: WaveletBasis) -> jax.Array:
     """Pixel map -> multiresolution wavelet coefficients.
@@ -236,16 +254,19 @@ def analysis(f: jax.Array, wb: WaveletBasis) -> jax.Array:
     (`/root/reference/pxmcmc/transforms.py:102-112`): per scale,
     W^j_{lm} = f_{lm} kappa^j_l rendered at the scale's own bandlimit.
 
-    :param f: (..., L(2L-1)) flat MW map (complex or real)
-    :return: (..., ncoefs) complex, [scaling | j=J_min | ...]
+    :param f: (..., L(2L-1)) flat MW map; real input takes the real fast path
+        and yields real coefficients (same values as the reference's complex
+        output)
+    :return: (..., ncoefs), [scaling | j=J_min | ...]
     """
+    fwd, inv, _, _ = _sht_fns(_use_real_path(f, wb))
     L = wb.L
     fmap = f.reshape(f.shape[:-1] + (L, 2 * L - 1))
-    flm = sht.forward(fmap, wb.main)
+    flm = fwd(fmap, wb.main)
     out = []
     for kap, basis, bl in zip(wb.kappa_flm, wb.bases, wb.bandlimits):
         coefs_lm = flm[..., : bl * bl] * kap
-        wmap = sht.inverse(coefs_lm, basis)
+        wmap = inv(coefs_lm, basis)
         out.append(wmap.reshape(wmap.shape[:-2] + (-1,)))
     return jnp.concatenate(out, axis=-1)
 
@@ -258,16 +279,17 @@ def synthesis(X: jax.Array, wb: WaveletBasis) -> jax.Array:
     (`/root/reference/pxmcmc/transforms.py:114-127`).  Exact inverse of
     :func:`analysis` by the admissibility identity.
     """
+    fwd, inv, _, _ = _sht_fns(_use_real_path(X, wb))
     L = wb.L
     blocks = _split_scales(X, wb)
     flm = None
     for blk, kap, basis, bl in zip(blocks, wb.kappa_flm, wb.bases, wb.bandlimits):
         wmap = blk.reshape(blk.shape[:-1] + (bl, 2 * bl - 1))
-        wlm = sht.forward(wmap, basis) * kap
+        wlm = fwd(wmap, basis) * kap
         pad = L * L - bl * bl
         wlm_full = jnp.pad(wlm, [(0, 0)] * (wlm.ndim - 1) + [(0, pad)])
         flm = wlm_full if flm is None else flm + wlm_full
-    f = sht.inverse(flm, wb.main)
+    f = inv(flm, wb.main)
     return f.reshape(f.shape[:-2] + (-1,))
 
 
@@ -279,13 +301,14 @@ def synthesis_adjoint(f: jax.Array, wb: WaveletBasis) -> jax.Array:
     (`/root/reference/pxmcmc/transforms.py:129-139`) — the map the synthesis
     -setting gradient flows through (``forward.py:71-72``).
     """
+    _, _, fwd_adj, inv_adj = _sht_fns(_use_real_path(f, wb))
     L = wb.L
     fmap = f.reshape(f.shape[:-1] + (L, 2 * L - 1))
-    glm = sht.inverse_adjoint(fmap, wb.main)
+    glm = inv_adj(fmap, wb.main)
     out = []
     for kap, basis, bl in zip(wb.kappa_flm, wb.bases, wb.bandlimits):
         wlm = glm[..., : bl * bl] * kap
-        wmap = sht.forward_adjoint(wlm, basis)
+        wmap = fwd_adj(wlm, basis)
         out.append(wmap.reshape(wmap.shape[:-2] + (-1,)))
     return jnp.concatenate(out, axis=-1)
 
@@ -297,14 +320,15 @@ def analysis_adjoint(X: jax.Array, wb: WaveletBasis) -> jax.Array:
     Equivalent of ``pys2let.analysis_adjoint_wav2px``
     (`/root/reference/pxmcmc/transforms.py:96`).
     """
+    _, _, fwd_adj, inv_adj = _sht_fns(_use_real_path(X, wb))
     L = wb.L
     blocks = _split_scales(X, wb)
     flm = None
     for blk, kap, basis, bl in zip(blocks, wb.kappa_flm, wb.bases, wb.bandlimits):
         wmap = blk.reshape(blk.shape[:-1] + (bl, 2 * bl - 1))
-        wlm = sht.inverse_adjoint(wmap, basis) * kap
+        wlm = inv_adj(wmap, basis) * kap
         pad = L * L - bl * bl
         wlm_full = jnp.pad(wlm, [(0, 0)] * (wlm.ndim - 1) + [(0, pad)])
         flm = wlm_full if flm is None else flm + wlm_full
-    f = sht.forward_adjoint(flm, wb.main)
+    f = fwd_adj(flm, wb.main)
     return f.reshape(f.shape[:-2] + (-1,))
