@@ -60,12 +60,19 @@ def load_topo(infile, L):
     law so magnitudes are comparable to the real map (km scale after /1000).
     """
     if os.path.exists(infile) and "_hpx_" in infile:
-        import healpy as hp
+        try:
+            import healpy as hp
 
-        from pxmcmc_tpu.utils import healpy_lm_to_mw_lm, map2alm
+            from pxmcmc_tpu.utils import healpy_lm_to_mw_lm, map2alm
 
-        topo = hp.read_map(infile)
-        flm = healpy_lm_to_mw_lm(map2alm(topo, L - 1), L)
+            topo = hp.read_map(infile)
+            flm = healpy_lm_to_mw_lm(map2alm(topo, L - 1), L)
+        except ModuleNotFoundError:
+            # healpy-free path: our own FITS reader + ring-based map2alm
+            from pxmcmc_tpu.ops import healpix
+
+            topo, _nside = healpix.read_healpix_fits(infile)
+            flm = healpix.map2alm(topo, L)
         basis = sht.get_basis(L, 0)
         return np.asarray(sht.inverse(flm, basis)).real.reshape(-1)
     if os.path.exists(infile) and "_mw_" in infile:

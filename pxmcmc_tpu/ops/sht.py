@@ -96,6 +96,9 @@ class SHTBasis:
     flm_absm: jax.Array  # (L^2,) int32: |m| per flm index
     flm_isneg: jax.Array  # (L^2,) bool: m < 0
     flm_sign: jax.Array  # (L^2,) real: (-1)^m where m < 0, else 1
+    # phi-direction DFT matrices (MXU alternative to odd-length FFTs):
+    cos_pm: jax.Array  # (2L-1, L) real: cos(m phi_p), [p, m >= 0]
+    sin_pm: jax.Array  # (2L-1, L) real: sin(m phi_p)
 
     @property
     def nlm(self) -> int:
@@ -110,7 +113,7 @@ jax.tree_util.register_dataclass(
     SHTBasis,
     data_fields=[
         "lam", "q", "gather_ml", "flm_mi", "flm_l",
-        "flm_absm", "flm_isneg", "flm_sign",
+        "flm_absm", "flm_isneg", "flm_sign", "cos_pm", "sin_pm",
     ],
     meta_fields=["L", "spin"],
 )
@@ -153,6 +156,8 @@ def get_basis(L: int, spin: int = 0, dtype=None, use_disk_cache: bool = True) ->
     flm_mi = flm_m + (L - 1)
 
     sign = np.where(flm_m < 0, (-1.0) ** np.abs(flm_m), 1.0)
+    phis = 2 * np.pi * np.arange(2 * L - 1) / (2 * L - 1)
+    mphi = np.outer(phis, np.arange(L))  # (2L-1, L)
     basis = SHTBasis(
         L=L,
         spin=spin,
@@ -164,6 +169,8 @@ def get_basis(L: int, spin: int = 0, dtype=None, use_disk_cache: bool = True) ->
         flm_absm=jnp.asarray(np.abs(flm_m)),
         flm_isneg=jnp.asarray(flm_m < 0),
         flm_sign=jnp.asarray(sign, dtype=dtype),
+        cos_pm=jnp.asarray(np.cos(mphi), dtype=dtype),
+        sin_pm=jnp.asarray(np.sin(mphi), dtype=dtype),
     )
     _BASIS_CACHE[key] = basis
     return basis
@@ -291,17 +298,52 @@ def _from_ml_pos(Gpos: jax.Array, basis: SHTBasis) -> jax.Array:
     return jnp.where(basis.flm_isneg, mirrored, vals)
 
 
+#: phi-transform implementation for the real path: 'fft' uses rfft/irfft
+#: (odd length 2L-1 — slow radix on TPU), 'dft' uses cos/sin matmuls on the
+#: MXU.  Identical results; pick per hardware with PXMCMC_SHT_PHI.
+PHI_MODE = os.environ.get("PXMCMC_SHT_PHI", "dft")
+
+
+def _phi_synth_real(T: jax.Array, basis: SHTBasis) -> jax.Array:
+    """Half-spectrum theta-major T (..., L(m), L(t)) -> real map (..., L, 2L-1).
+
+    f[t,p] = Re( T[0,t] + 2 sum_{m>0} T[m,t] e^{i m phi_p} ).
+    """
+    L = basis.L
+    N = 2 * L - 1
+    if PHI_MODE == "fft":
+        f = N * jnp.fft.irfft(T, n=N, axis=-2)  # (..., N(p), L(t))
+        return jnp.swapaxes(f, -1, -2)
+    c = jnp.ones((L,), dtype=basis.cos_pm.dtype).at[1:].set(2.0)
+    Tr = T.real * c[..., :, None]
+    Ti = T.imag * c[..., :, None]
+    f = jnp.einsum("pm,...mt->...tp", basis.cos_pm, Tr) - jnp.einsum(
+        "pm,...mt->...tp", basis.sin_pm, Ti
+    )
+    return f
+
+
+def _phi_analysis_real(f: jax.Array, basis: SHTBasis, scale: float) -> jax.Array:
+    """Real map (..., L, 2L-1) -> half-spectrum (..., L(m), L(t)):
+    T[m,t] = scale * sum_p f[t,p] e^{-i m phi_p}."""
+    L = basis.L
+    if PHI_MODE == "fft":
+        A = jnp.fft.rfft(f, axis=-1) * scale  # (..., L(t), L(m))
+        return jnp.swapaxes(A, -1, -2)
+    re = jnp.einsum("pm,...tp->...mt", basis.cos_pm, f) * scale
+    im = -jnp.einsum("pm,...tp->...mt", basis.sin_pm, f) * scale
+    return jax.lax.complex(re, im)
+
+
 def inverse_real(flm: jax.Array, basis: SHTBasis) -> jax.Array:
     """Real-output synthesis: equals ``inverse(flm).real`` for conjugate
     -symmetric flm, at half the matmul cost.  (..., L^2) -> (..., L, 2L-1) real.
     """
     assert basis.spin == 0, "real path is spin-0 only"
     L = basis.L
-    N = 2 * L - 1
     F = _to_ml_pos(flm.astype(complex_dtype()), basis)  # (..., L(m), L(l))
     T = _real_mat_complex_vec("mtl,...ml->...mt", basis.lam[L - 1 :], F)
-    f = N * jnp.fft.irfft(T, n=N, axis=-2)  # (..., N(p), L(t)) real
-    return jnp.swapaxes(f, -1, -2)
+    return _phi_synth_real(T, basis)
 
 
 def forward_real(f: jax.Array, basis: SHTBasis) -> jax.Array:
@@ -310,8 +352,7 @@ def forward_real(f: jax.Array, basis: SHTBasis) -> jax.Array:
     assert basis.spin == 0
     L = basis.L
     N = 2 * L - 1
-    Fk = jnp.fft.rfft(f, axis=-1) / N  # (..., L(t), L(m>=0))
-    Fm = jnp.swapaxes(Fk, -1, -2)  # (..., L(m), L(t))
+    Fm = _phi_analysis_real(f, basis, 1.0 / N)  # (..., L(m), L(t))
     G = _real_mat_complex_vec("mlt,...mt->...ml", basis.q[L - 1 :], Fm)
     return _from_ml_pos(G, basis)
 
@@ -321,8 +362,7 @@ def inverse_adjoint_real(f: jax.Array, basis: SHTBasis) -> jax.Array:
     (..., L, 2L-1) real -> (..., L^2) complex (conjugate-symmetric)."""
     assert basis.spin == 0
     L = basis.L
-    A = jnp.fft.rfft(f, axis=-1)  # unscaled: adjoint of N*ifft, m >= 0 part
-    T = jnp.swapaxes(A, -1, -2)  # (..., L(m), L(t))
+    T = _phi_analysis_real(f, basis, 1.0)  # adjoint of N*ifft: unscaled
     G = _real_mat_complex_vec("mtl,...mt->...ml", basis.lam[L - 1 :], T)
     return _from_ml_pos(G, basis)
 
@@ -335,5 +375,4 @@ def forward_adjoint_real(flm: jax.Array, basis: SHTBasis) -> jax.Array:
     N = 2 * L - 1
     F = _to_ml_pos(flm.astype(complex_dtype()), basis)
     Ft = _real_mat_complex_vec("mlt,...ml->...mt", basis.q[L - 1 :], F)
-    B = jnp.swapaxes(Ft, -1, -2)  # (..., L(t), L(m))
-    return jnp.fft.irfft(B, n=N, axis=-1)  # 1/N scaling matches ifft
+    return _phi_synth_real(Ft, basis) / N  # 1/N matches the ifft scaling

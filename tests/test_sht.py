@@ -116,3 +116,51 @@ def test_sample_geometry(L):
     assert thetas.shape == (L,) and phis.shape == (2 * L - 1,)
     assert 0 < thetas[0] and np.isclose(thetas[-1], np.pi)
     assert phis[0] == 0
+
+
+@pytest.fixture(params=["dft", "fft"])
+def phi_mode(request, monkeypatch):
+    monkeypatch.setattr(sht, "PHI_MODE", request.param)
+    return request.param
+
+
+class TestRealPath:
+    """Real-field fast path equals the complex path to machine precision."""
+
+    def test_inverse_real(self, L, rng, phi_mode):
+        basis = sht.get_basis(L, 0, use_disk_cache=False)
+        flm = make_real_flm(L, rng)
+        f_c = np.asarray(sht.inverse(jnp.asarray(flm), basis))
+        f_r = np.asarray(sht.inverse_real(jnp.asarray(flm), basis))
+        assert not np.iscomplexobj(f_r)
+        assert np.allclose(f_r, f_c.real, atol=1e-12)
+
+    def test_forward_real(self, L, rng, phi_mode):
+        basis = sht.get_basis(L, 0, use_disk_cache=False)
+        f = np.asarray(sht.inverse(jnp.asarray(make_real_flm(L, rng)), basis)).real
+        a = np.asarray(sht.forward_real(jnp.asarray(f), basis))
+        b = np.asarray(sht.forward(jnp.asarray(f.astype(complex)), basis))
+        assert np.allclose(a, b, atol=1e-12)
+
+    def test_inverse_adjoint_real(self, L, rng, phi_mode):
+        basis = sht.get_basis(L, 0, use_disk_cache=False)
+        f = rng.standard_normal((L, 2 * L - 1))
+        a = np.asarray(sht.inverse_adjoint_real(jnp.asarray(f), basis))
+        b = np.asarray(sht.inverse_adjoint(jnp.asarray(f.astype(complex)), basis))
+        assert np.allclose(a, b, atol=1e-12)
+
+    def test_forward_adjoint_real(self, L, rng, phi_mode):
+        basis = sht.get_basis(L, 0, use_disk_cache=False)
+        flm = make_real_flm(L, rng)
+        a = np.asarray(sht.forward_adjoint_real(jnp.asarray(flm), basis))
+        b = np.asarray(sht.forward_adjoint(jnp.asarray(flm), basis))
+        assert not np.iscomplexobj(a)
+        assert np.allclose(a, b.real, atol=1e-12)
+
+    def test_batched(self, L, rng, phi_mode):
+        basis = sht.get_basis(L, 0, use_disk_cache=False)
+        f = rng.standard_normal((3, L, 2 * L - 1))
+        out = np.asarray(sht.forward_real(jnp.asarray(f), basis))
+        assert out.shape == (3, L * L)
+        single = np.asarray(sht.forward_real(jnp.asarray(f[1]), basis))
+        assert np.allclose(out[1], single)
