@@ -10,3 +10,17 @@ if _os.environ.get("PXMCMC_PLATFORM"):
     _jax.config.update("jax_platforms", _os.environ["PXMCMC_PLATFORM"])
 
 __version__ = "0.1.0"
+
+from . import (  # noqa: E402,F401
+    config,
+    diagnostics,
+    forward,
+    measurements,
+    mcmc,
+    plotting,
+    prior,
+    saving,
+    transforms,
+    uncertainty,
+    utils,
+)

@@ -132,3 +132,24 @@ def test_skrock_coefficients_sane():
     mcmc = SKROCK(fwd, prox, PxMCMCParams(nsamples=1, nburn=0, ngap=1, verbosity=0, s=10))
     for j in range(2, 11):
         assert np.isclose(mcmc.ks[j], 1 - mcmc.nus[j])
+
+
+def test_skrock_targets_gaussian_posterior():
+    """SK-ROCK moments on an exact Gaussian target (validates the linear
+    Chebyshev recursion end-to-end, not just coefficient identities)."""
+    n = 16
+    y = np.linspace(-1, 1, n)
+    sigma = 0.5
+    fwd = ForwardOperator(
+        y, sigma, "synthesis", IdentityTransform(), Identity(n, n), nparams=n
+    )
+    prox = L1("synthesis", None, None, 1e-9)
+    params = PxMCMCParams(
+        nsamples=3000, nburn=500, ngap=5, verbosity=0, delta=5e-3, lmda=5e-2,
+        mu=1e-9, s=6, nchains=2,
+    )
+    mcmc = SKROCK(fwd, prox, params)
+    mcmc.run()
+    samples = mcmc.chain.reshape(-1, n)
+    assert np.allclose(samples.mean(axis=0), y, atol=0.15)
+    assert np.allclose(samples.var(axis=0), sigma ** 2, rtol=0.5)
