@@ -128,7 +128,10 @@ def cpu_baseline():
         "rate = bench.measure(bench.L_BENCH, 1, niter=5, nrep=1)\n"
         "print('BASELINE_JSON ' + json.dumps(rate))\n" % REPO
     )
-    env = dict(os.environ, PXMCMC_PLATFORM="cpu", JAX_PLATFORMS="cpu")
+    # the CPU baseline gets the phi mode that is fastest on CPU (pocketfft
+    # handles odd lengths well; the DFT matmuls only pay off on the MXU)
+    env = dict(os.environ, PXMCMC_PLATFORM="cpu", JAX_PLATFORMS="cpu",
+               PXMCMC_SHT_PHI="fft")
     r = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True,
         timeout=3600, env=env, cwd=REPO,
