@@ -28,7 +28,7 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 L_BENCH = int(os.environ.get("PXMCMC_BENCH_L", 256))
-NCHAINS = int(os.environ.get("PXMCMC_BENCH_CHAINS", 64))
+NCHAINS = int(os.environ.get("PXMCMC_BENCH_CHAINS", 256))
 BASELINE_CACHE = os.path.join(REPO, ".cache", "bench_baseline.json")
 
 
