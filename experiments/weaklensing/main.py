@@ -118,6 +118,17 @@ def main(args):
     NOW = datetime.datetime.now()
     mcmc.run()
 
+    # Post-run convergence diagnostics (beyond-reference; SURVEY.md §5)
+    if hasattr(mcmc, "chain"):
+        from pxmcmc_tpu.diagnostics import effective_sample_size, split_rhat
+
+        ess = effective_sample_size(mcmc.chain)
+        print(f"median ESS: {np.median(ess):.1f}"
+              f" ({np.median(ess) / mcmc.runtime_seconds:.2f}/s)")
+        if mcmc.chain.shape[1] > 1:
+            rhat = split_rhat(mcmc.chain)
+            print(f"max split R-hat: {rhat.max():.3f}")
+
     filename = f"{args.algo}_{args.setting}_{NOW.strftime('%d%m%y_%H%M%S')}_{args.jobid}"
     save_mcmc(
         mcmc,
