@@ -125,9 +125,11 @@ def get_basis(L: int, spin: int = 0, dtype=None, use_disk_cache: bool = True) ->
     """Build (or fetch) the transform basis for (L, spin).
 
     Precompute is float64 on host; tables land on device in ``dtype``
-    (default: f64 under x64, else f32).
+    (default: f64 under x64, else f32; PXMCMC_SHT_DTYPE=bfloat16 opts the
+    matmul tables into bf16 for 2x MXU rate at ~1e-2 relative error).
     """
-    dtype = dtype or real_dtype()
+    env_dt = os.environ.get("PXMCMC_SHT_DTYPE")
+    dtype = dtype or (jnp.dtype(env_dt) if env_dt else None) or real_dtype()
     key = (L, spin, jnp.dtype(dtype).name)
     if key in _BASIS_CACHE:
         return _BASIS_CACHE[key]
@@ -197,12 +199,24 @@ def _real_mat_complex_vec(spec: str, mat: jax.Array, z: jax.Array) -> jax.Array:
 
     Avoids XLA materialising a complex copy of the (large) basis matrices and
     runs both halves through the MXU.  ``spec`` must route the stacked
-    real/imag axis through '...'.
+    real/imag axis through '...'.  bf16 tables (``get_basis(dtype=bfloat16)``
+    or PXMCMC_SHT_DTYPE=bfloat16) run the MXU at double rate with f32
+    accumulation — opt-in, ~1e-2 relative transform error.
     """
+    bf16 = mat.dtype == jnp.bfloat16
     if not jnp.issubdtype(z.dtype, jnp.complexfloating):
+        if bf16:
+            return jnp.einsum(
+                spec, mat, z.astype(jnp.bfloat16), preferred_element_type=jnp.float32
+            )
         return jnp.einsum(spec, mat, z)
     zr = jnp.stack([z.real, z.imag], axis=0)
-    out = jnp.einsum(spec, mat, zr)
+    if bf16:
+        out = jnp.einsum(
+            spec, mat, zr.astype(jnp.bfloat16), preferred_element_type=jnp.float32
+        )
+    else:
+        out = jnp.einsum(spec, mat, zr)
     return jax.lax.complex(out[0], out[1])
 
 
@@ -298,6 +312,15 @@ def _from_ml_pos(Gpos: jax.Array, basis: SHTBasis) -> jax.Array:
     return jnp.where(basis.flm_isneg, mirrored, vals)
 
 
+
+def _mm(mat: jax.Array, x: jax.Array, spec: str) -> jax.Array:
+    """Real einsum honouring bf16 tables (bf16 x bf16 -> f32 accumulate)."""
+    if mat.dtype == jnp.bfloat16:
+        return jnp.einsum(spec, mat, x.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+    return jnp.einsum(spec, mat, x)
+
+
 #: phi-transform implementation for the real path: 'fft' uses rfft/irfft
 #: (odd length 2L-1 — slow radix on TPU), 'dft' uses cos/sin matmuls on the
 #: MXU.  Identical results; pick per hardware with PXMCMC_SHT_PHI.
@@ -314,11 +337,11 @@ def _phi_synth_real(T: jax.Array, basis: SHTBasis) -> jax.Array:
     if PHI_MODE == "fft":
         f = N * jnp.fft.irfft(T, n=N, axis=-2)  # (..., N(p), L(t))
         return jnp.swapaxes(f, -1, -2)
-    c = jnp.ones((L,), dtype=basis.cos_pm.dtype).at[1:].set(2.0)
+    c = jnp.ones((L,), dtype=jnp.float32).at[1:].set(2.0)
     Tr = T.real * c[..., :, None]
     Ti = T.imag * c[..., :, None]
-    f = jnp.einsum("pm,...mt->...tp", basis.cos_pm, Tr) - jnp.einsum(
-        "pm,...mt->...tp", basis.sin_pm, Ti
+    f = _mm(basis.cos_pm, Tr, "pm,...mt->...tp") - _mm(
+        basis.sin_pm, Ti, "pm,...mt->...tp"
     )
     return f
 
@@ -330,8 +353,8 @@ def _phi_analysis_real(f: jax.Array, basis: SHTBasis, scale: float) -> jax.Array
     if PHI_MODE == "fft":
         A = jnp.fft.rfft(f, axis=-1) * scale  # (..., L(t), L(m))
         return jnp.swapaxes(A, -1, -2)
-    re = jnp.einsum("pm,...tp->...mt", basis.cos_pm, f) * scale
-    im = -jnp.einsum("pm,...tp->...mt", basis.sin_pm, f) * scale
+    re = _mm(basis.cos_pm, f, "pm,...tp->...mt") * scale
+    im = -_mm(basis.sin_pm, f, "pm,...tp->...mt") * scale
     return jax.lax.complex(re, im)
 
 

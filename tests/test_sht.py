@@ -164,3 +164,15 @@ class TestRealPath:
         assert out.shape == (3, L * L)
         single = np.asarray(sht.forward_real(jnp.asarray(f[1]), basis))
         assert np.allclose(out[1], single)
+
+
+def test_bf16_tables_accuracy(L, rng):
+    """bf16 opt-in keeps relative transform error at the bf16 noise floor."""
+    basis16 = sht.get_basis(L, 0, dtype=jnp.bfloat16, use_disk_cache=False)
+    basis64 = sht.get_basis(L, 0, use_disk_cache=False)
+    flm = make_real_flm(L, rng)
+    ref = np.asarray(sht.inverse_real(jnp.asarray(flm), basis64))
+    out = np.asarray(sht.inverse_real(jnp.asarray(flm), basis16))
+    assert out.dtype == np.float32
+    rel = np.abs(out - ref).max() / np.abs(ref).max()
+    assert rel < 5e-2, rel
