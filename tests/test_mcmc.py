@@ -153,3 +153,21 @@ def test_skrock_targets_gaussian_posterior():
     samples = mcmc.chain.reshape(-1, n)
     assert np.allclose(samples.mean(axis=0), y, atol=0.15)
     assert np.allclose(samples.var(axis=0), sigma ** 2, rtol=0.5)
+
+
+def test_analysis_setting_wavelet_sampling(simpledata, L, B, J_min):
+    """Full analysis-setting run with the wavelet transform: the prox pulls
+    X through the synthesis/adjoint pair (ref prior.py:49-53)."""
+    from pxmcmc_tpu.forward import SphericalWaveletTransformOperator
+
+    fwd = SphericalWaveletTransformOperator(simpledata, 0.1, "analysis", L, B, J_min)
+    prox = L1(
+        "analysis", fwd.transform.inverse, fwd.transform.inverse_adjoint, 1e-5
+    )
+    params = PxMCMCParams(nsamples=10, nburn=2, ngap=2, verbosity=0,
+                          delta=1e-4, lmda=1e-4)
+    mcmc = MYULA(fwd, prox, params)
+    mcmc.run()
+    assert mcmc.chain.shape == (10, 1, fwd.nparams)
+    assert fwd.nparams == len(simpledata)  # analysis samples pixel space
+    assert np.isfinite(mcmc.chain).all()
