@@ -76,7 +76,9 @@ def measure(L, nchains, niter, nrep=3):
     from pxmcmc_tpu.capture import CaptureThreader
 
     sampler, state, step = build_step(L, nchains)
-    threader = CaptureThreader([sampler.forward, sampler.prior])
+    threader = CaptureThreader([sampler])
+    if hasattr(sampler, "_prepare"):
+        sampler._prepare()
     captures = threader.get()
 
     def _block(state, keys):

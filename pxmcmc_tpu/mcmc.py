@@ -215,9 +215,10 @@ class PxMCMC:
                 )
             state = shard_chain_pytree(state, mesh)
 
+        self._prepare()
         # Every device table read through self.* becomes a jit argument, so
         # compiled programs carry no embedded weight constants (capture.py).
-        threader = CaptureThreader([self.forward, self.prior])
+        threader = CaptureThreader([self])
         captures = threader.get()
         gap = self._gap
 
@@ -348,13 +349,16 @@ class PxMCMC:
         """Per-sample quantities emitted from the scan (device side)."""
         rec = {}
         need_logpi = {"logposterior", "L2", "prior"} & set(self.track)
+        preds = state.preds
+        if preds is None and (need_logpi or "predictions" in self.track):
+            preds = self.forward.forward(state.X)  # gram path: on demand only
         if need_logpi:
-            logPi, L2, prior = self.logpi(state.X, state.preds)
+            logPi, L2, prior = self.logpi(state.X, preds)
             rec.update(logposterior=logPi, L2=L2, prior=prior)
         if "chain" in self.track:
             rec["chain"] = state.X
         if "predictions" in self.track:
-            rec["predictions"] = state.preds
+            rec["predictions"] = preds
         return rec
 
     def _store_tracking(self, j, nblk, recs, traces):
@@ -369,6 +373,9 @@ class PxMCMC:
             self.chain[sl] = recs["chain"]
         if "predictions" in self.track:
             self.preds[sl] = recs["predictions"]
+
+    def _prepare(self):
+        """Hook for precomputing derived device tables before capture setup."""
 
     # -- to be provided by subclasses ---------------------------------------
     def _init_state(self, X, preds):
@@ -396,10 +403,51 @@ class MYULA(PxMCMC):
 
     One step:  X' = (1 - delta/lmda) X + (delta/lmda) prox_f(X)
                - delta grad_g + sqrt(2 delta) w,   w ~ N(0, I).
+
+    When the model is a real synthesis-setting wavelet denoiser (square
+    identity measurement, scalar noise), the data-fidelity gradient runs
+    through precomputed per-m Gram tables (``ops.sht.get_gram``) — exactly
+    the same linear operator as the pixel-space chain at ~1/3 of the flops,
+    and predictions are only materialised at record points.
     """
 
     def _init_state(self, X, preds):
+        if self._gram_ok():
+            return ChainState(X=X, preds=None)
         return ChainState(X=X, preds=preds)
+
+    def _gram_ok(self) -> bool:
+        from .measurements import Identity
+        from .transforms import SphericalWaveletTransform
+
+        fwd = self.forward
+        return (
+            not self.complex
+            and getattr(fwd, "setting", None) == "synthesis"
+            and isinstance(getattr(fwd, "measurement", None), Identity)
+            and fwd.measurement.ndata == fwd.measurement.npix
+            and getattr(fwd, "_invcov_kind", None) == "scalar"
+            and not jnp.iscomplexobj(fwd.invcov)
+            and isinstance(getattr(fwd, "transform", None), SphericalWaveletTransform)
+            and fwd.transform.spin == 0
+        )
+
+    def _setup_gram(self):
+        """Precompute Gram tables and the constant term b = S^T invcov y."""
+        from .ops import sht as _sht
+
+        tr = self.forward.transform
+        self._gram = _sht.get_gram(tr.L, 0)
+        y_weighted = (self.forward.invcov * self.forward.data).real.astype(
+            real_dtype()
+        )
+        self._gram_b = self._cast(tr.inverse_adjoint(y_weighted))
+
+    def _gram_gradg(self, X):
+        from .ops.wavelets import gram_gradient_real
+
+        stsx = gram_gradient_real(X, self.forward.transform.basis, self._gram)
+        return self.forward.invcov * stsx - self._gram_b
 
     def chain_step(self, X, proxf, gradg, w, delta=None):
         """Euler-Maruyama step (ref ``mcmc.py:185-201``)."""
@@ -411,32 +459,44 @@ class MYULA(PxMCMC):
             + jnp.sqrt(2 * delta) * w
         )
 
-    def _build_step(self):
-        if self._can_fuse():
-            import jax.numpy as jnp
+    def _prepare(self):
+        if self._gram_ok() and not hasattr(self, "_gram"):
+            self._setup_gram()
 
+    def _build_step(self):
+        gram = self._gram_ok()
+        if gram and not hasattr(self, "_gram"):
+            self._setup_gram()
+
+        def compute_gradg(state):
+            if gram:
+                return self._gram_gradg(state.X)
+            return self._cast(self.forward.calc_gradg(state.preds))
+
+        def next_state(X):
+            return ChainState(X=X, preds=None if gram else self.forward.forward(X))
+
+        if self._can_fuse():
             from .ops.threshold import myula_fused_step
 
             def step(state, key):
-                gradg = self._cast(self.forward.calc_gradg(state.preds))
+                gradg = compute_gradg(state)
                 seed = jax.random.randint(key, (), 0, jnp.iinfo(jnp.int32).max)
                 # read self.prior.T at trace time so it threads through the
                 # capture machinery instead of binding a constant
                 X = myula_fused_step(
                     state.X, gradg, self.prior.T, self.delta, self.lmda, seed
                 )
-                preds = self.forward.forward(X)
-                return ChainState(X=X, preds=preds), ()
+                return next_state(X), ()
 
             return step
 
         def step(state, key):
-            gradg = self._cast(self.forward.calc_gradg(state.preds))
+            gradg = compute_gradg(state)
             proxf = self.prior.proxf(state.X)
             w = self._noise(key, state.X.shape)
             X = self.chain_step(state.X, proxf, gradg, w)
-            preds = self.forward.forward(X)
-            return ChainState(X=X, preds=preds), ()
+            return next_state(X), ()
 
         return step
 

@@ -399,3 +399,59 @@ def forward_adjoint_real(flm: jax.Array, basis: SHTBasis) -> jax.Array:
     F = _to_ml_pos(flm.astype(complex_dtype()), basis)
     Ft = _real_mat_complex_vec("mlt,...ml->...mt", basis.q[L - 1 :], F)
     return _phi_synth_real(Ft, basis) / N  # 1/N matches the ifft scaling
+
+
+# ---------------------------------------------------------------------------
+# Normal-operator (Gram) tables: inverse_adjoint(inverse(.)) per m
+# ---------------------------------------------------------------------------
+
+_GRAM_CACHE: dict = {}
+
+
+def get_gram(L: int, spin: int = 0, dtype=None, use_disk_cache: bool = True) -> jax.Array:
+    """Per-m Gram matrices of the synthesis operator: G_m = N * Lambda_m^T Lambda_m.
+
+    For a *scalar* pixel weighting c, the composition
+    ``inverse_adjoint(c * inverse(flm))`` equals the per-m matmul
+    ``c * G_m @ flm_m`` exactly (the phi-DFT is unitary up to N:
+    V^H V = N I), so gradient chains through a square identity measurement
+    skip pixel space entirely.  m >= 0 half only (real path); (L, L, L).
+    """
+    dtype = dtype or real_dtype()
+    key = (L, spin, jnp.dtype(dtype).name)
+    if key in _GRAM_CACHE:
+        return _GRAM_CACHE[key]
+    path = os.path.join(cache_dir(), f"sht_gram_L{L}_spin{spin}.npz")
+    if use_disk_cache and os.path.exists(path):
+        with np.load(path) as z:
+            g64 = z["gram"]
+    else:
+        basis = get_basis(L, spin, dtype=jnp.float64 if jax.config.jax_enable_x64 else None,
+                          use_disk_cache=use_disk_cache)
+        lam64, _ = (None, None)
+        # recompute in f64 on host for precision
+        from .wigner import spin_lambda_table
+
+        thetas, _p = sampling.sample_positions(L)
+        lam_full = spin_lambda_table(L, spin, thetas)
+        lam_pos = lam_full[L - 1 :]  # (L, L(t), L(l))
+        N = 2 * L - 1
+        g64 = N * np.einsum("mtl,mtk->mlk", lam_pos, lam_pos)
+        if use_disk_cache and L >= 64:
+            tmp = path + ".tmp.npz"
+            np.savez(tmp, gram=g64)
+            os.replace(tmp, path)
+    g = jnp.asarray(g64, dtype=dtype)
+    _GRAM_CACHE[key] = g
+    return g
+
+
+def gram_apply_real(flm: jax.Array, gram: jax.Array, basis: SHTBasis) -> jax.Array:
+    """inverse_adjoint(inverse(flm)) for conjugate-symmetric flm via Gram matmuls.
+
+    Exactly equal to ``inverse_adjoint_real(inverse_real(flm))`` at a third
+    of the flops (no phi transforms, no pixel materialisation).
+    """
+    F = _to_ml_pos(flm.astype(complex_dtype()), basis)  # (..., L(m), L(l))
+    H = _real_mat_complex_vec("mlk,...mk->...ml", gram, F)
+    return _from_ml_pos(H, basis)

@@ -332,3 +332,55 @@ def analysis_adjoint(X: jax.Array, wb: WaveletBasis) -> jax.Array:
         flm = wlm_full if flm is None else flm + wlm_full
     f = fwd_adj(flm, wb.main)
     return f.reshape(f.shape[:-2] + (-1,))
+
+
+# ---------------------------------------------------------------------------
+# Normal-operator (Gram) gradient fast path — real chains, synthesis setting,
+# square identity measurement, scalar noise.  The pixel-space round trip of
+# the data-fidelity gradient collapses into per-m Gram matmuls
+# (see sht.get_gram): grad = c * A^T(Gram(A(X))) - b with A the scale-side
+# harmonic assembly, skipping both phi transforms and the pixel map at L.
+# ---------------------------------------------------------------------------
+
+def synthesis_lm_real(X: jax.Array, wb: WaveletBasis) -> jax.Array:
+    """Coefficient pyramid -> summed harmonic coefficients (no final inverse).
+
+    The harmonic half of :func:`synthesis`: per-scale forward SHT, kappa
+    multiply, zero-padded sum.  Real input only.
+    """
+    L = wb.L
+    blocks = _split_scales(X, wb)
+    flm = None
+    for blk, kap, basis, bl in zip(blocks, wb.kappa_flm, wb.bases, wb.bandlimits):
+        wmap = blk.reshape(blk.shape[:-1] + (bl, 2 * bl - 1))
+        wlm = sht.forward_real(wmap, basis) * kap
+        pad = L * L - bl * bl
+        wlm_full = jnp.pad(wlm, [(0, 0)] * (wlm.ndim - 1) + [(0, pad)])
+        flm = wlm_full if flm is None else flm + wlm_full
+    return flm
+
+
+def adjoint_scales_real(glm: jax.Array, wb: WaveletBasis) -> jax.Array:
+    """Harmonic coefficients -> coefficient pyramid (adjoint scale side).
+
+    The scale half of :func:`synthesis_adjoint`: per-scale kappa multiply and
+    adjoint forward SHT.  Real (conjugate-symmetric) input only.
+    """
+    out = []
+    for kap, basis, bl in zip(wb.kappa_flm, wb.bases, wb.bandlimits):
+        wlm = glm[..., : bl * bl] * kap
+        wmap = sht.forward_adjoint_real(wlm, basis)
+        out.append(wmap.reshape(wmap.shape[:-2] + (-1,)))
+    return jnp.concatenate(out, axis=-1)
+
+
+def gram_gradient_real(X: jax.Array, wb: WaveletBasis, gram: jax.Array) -> jax.Array:
+    """S^T S X in coefficient space via the Gram tables (S = synthesis).
+
+    Exactly equals ``synthesis_adjoint(synthesis(X))`` for real X; scale the
+    result by the (scalar) inverse noise variance and subtract the
+    precomputed ``S^T invcov y`` to get the fidelity gradient.
+    """
+    flm = synthesis_lm_real(X, wb)
+    glm = sht.gram_apply_real(flm, gram, wb.main)
+    return adjoint_scales_real(glm, wb)

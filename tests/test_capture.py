@@ -21,7 +21,8 @@ def _make(simpledata, L, B, J_min):
 
 def test_threader_finds_basis_tables(simpledata, L, B, J_min):
     mcmc = _make(simpledata, L, B, J_min)
-    threader = CaptureThreader([mcmc.forward, mcmc.prior])
+    mcmc._prepare()
+    threader = CaptureThreader([mcmc])
     leaves = jax.tree_util.tree_leaves(threader.get())
     total = sum(leaf.size for leaf in leaves)
     # must include the SHT basis matrices: lam+q at L plus per-scale bases
@@ -38,7 +39,8 @@ def test_lowered_step_has_no_large_constants(rng, B, J_min):
     basis = sht.get_basis(L, 0, use_disk_cache=False)
     data = np.asarray(sht.inverse(make_real_flm(L, rng), basis)).real.flatten()
     mcmc = _make(data, L, B, J_min)
-    threader = CaptureThreader([mcmc.forward, mcmc.prior])
+    mcmc._prepare()  # materialise derived tables (gram) before capture setup
+    threader = CaptureThreader([mcmc])
     captures = threader.get()
 
     X, preds = mcmc._initial_sample()

@@ -171,3 +171,42 @@ def test_analysis_setting_wavelet_sampling(simpledata, L, B, J_min):
     assert mcmc.chain.shape == (10, 1, fwd.nparams)
     assert fwd.nparams == len(simpledata)  # analysis samples pixel space
     assert np.isfinite(mcmc.chain).all()
+
+
+def test_gram_fast_path_matches_standard(simpledata, L, B, J_min):
+    """The Gram-table gradient path must reproduce the standard pixel-space
+    chain exactly (same seeds -> same samples)."""
+    from pxmcmc_tpu.forward import SphericalWaveletTransformOperator
+    from pxmcmc_tpu.prior import S2_Wavelets_L1
+
+    kw = dict(nsamples=15, nburn=5, ngap=2, verbosity=0, delta=1e-4, lmda=1e-4,
+              nchains=2)
+
+    def build(sig_d):
+        fwd = SphericalWaveletTransformOperator(simpledata, sig_d, "synthesis",
+                                                L, B, J_min)
+        params = PxMCMCParams(**kw)
+        prior = S2_Wavelets_L1(
+            "synthesis", fwd.transform.inverse, fwd.transform.inverse_adjoint,
+            params.lmda * params.mu, L=L, B=B, J_min=J_min,
+        )
+        return MYULA(fwd, prior, params, seed=11)
+
+    fast = build(0.1)
+    assert fast._gram_ok()
+    fast.run()
+
+    slow = build(0.1)
+    slow._gram_ok = lambda: False  # force the pixel-space chain
+    slow.run()
+
+    assert np.allclose(fast.chain, slow.chain, atol=1e-10), np.abs(
+        fast.chain - slow.chain
+    ).max()
+    assert np.allclose(fast.logPi, slow.logPi, atol=1e-8)
+
+    # vector noise disables the fast path
+    vec = build(np.full(len(simpledata), 0.1))
+    assert not vec._gram_ok()
+    vec.run()
+    assert np.isfinite(vec.chain).all()
