@@ -550,7 +550,42 @@ class PxMALA(MYULA):
         self.acceptance_trace = None
         self.deltas_trace = None
 
+    def _prepare(self):
+        super()._prepare()
+        if self._gram_ok() and not hasattr(self, "_gram_c2"):
+            # constant term of the coefficient-space fidelity: y^H invcov y
+            self._gram_c2 = jnp.real(
+                jnp.vdot(self.forward.data, self.forward.invcov * self.forward.data)
+            ).astype(real_dtype())
+
+    def _gram_fidelity(self, X, gradg):
+        """L2 from the gradient already in hand (no pixel space):
+
+        with g = c S^T S X - b and b = S^T(c y),
+        L2 = y^H c y - b.X + X.g  (all real, batched over chains)."""
+        return (
+            self._gram_c2
+            - jnp.sum(self._gram_b * X, axis=-1)
+            + jnp.sum(gradg * X, axis=-1)
+        )
+
     def _init_state(self, X, preds):
+        if self._gram_ok():
+            self._prepare()
+            gradg = self._gram_gradg(X)
+            L2 = self._gram_fidelity(X, gradg)
+            prior = self.prior.prior(X)
+            return MALAState(
+                X=X,
+                preds=None,
+                gradg=gradg,
+                proxf=self.prior.proxf(X),
+                logpi=-self.mu * prior - L2,
+                L2=L2,
+                prior=prior,
+                delta=jnp.full((self.nchains,), self.delta, dtype=real_dtype()),
+                it=jnp.zeros((), dtype=jnp.int32),
+            )
         logpi, L2, prior = self.logpi(X, preds)
         return MALAState(
             X=X,
@@ -598,6 +633,10 @@ class PxMALA(MYULA):
         return jnp.clip(new, self.lmda * 1e-8, self.lmda / 2)
 
     def _build_step(self):
+        gram = self._gram_ok()
+        if gram:
+            self._prepare()
+
         def step(state, key):
             kn, ka = jax.random.split(key)
             w = self._noise(kn, state.X.shape)
@@ -608,10 +647,17 @@ class PxMALA(MYULA):
                 - delta * state.gradg
                 + jnp.sqrt(2 * delta) * w
             )
-            prop_preds = self.forward.forward(X_prop)
-            gradg_prop = self._cast(self.forward.calc_gradg(prop_preds))
+            if gram:
+                prop_preds = None
+                gradg_prop = self._gram_gradg(X_prop)
+                L2Xp = self._gram_fidelity(X_prop, gradg_prop)
+                priorXp = self.prior.prior(X_prop)
+                logpiXp = -self.mu * priorXp - L2Xp
+            else:
+                prop_preds = self.forward.forward(X_prop)
+                gradg_prop = self._cast(self.forward.calc_gradg(prop_preds))
+                logpiXp, L2Xp, priorXp = self.logpi(X_prop, prop_preds)
             proxf_prop = self.prior.proxf(X_prop)
-            logpiXp, L2Xp, priorXp = self.logpi(X_prop, prop_preds)
 
             logtransXcXp = self.calc_logtransition(
                 state.X, X_prop, state.proxf, state.gradg, state.delta
@@ -629,6 +675,8 @@ class PxMALA(MYULA):
             accept = jnp.log(u) < logalpha
 
             def sel(a, b):
+                if a is None:
+                    return None
                 cond = accept.reshape(accept.shape + (1,) * (a.ndim - accept.ndim))
                 return jnp.where(cond, a, b)
 

@@ -210,3 +210,37 @@ def test_gram_fast_path_matches_standard(simpledata, L, B, J_min):
     assert not vec._gram_ok()
     vec.run()
     assert np.isfinite(vec.chain).all()
+
+
+def test_pxmala_gram_path_matches_standard(simpledata, L, B, J_min):
+    """PxMALA's coefficient-space fidelity (Gram path) reproduces the
+    pixel-space chain exactly."""
+    from pxmcmc_tpu.forward import SphericalWaveletTransformOperator
+    from pxmcmc_tpu.prior import S2_Wavelets_L1
+
+    kw = dict(nsamples=12, nburn=4, ngap=2, verbosity=0, delta=1e-4, lmda=1e-4,
+              nchains=2)
+
+    def build():
+        fwd = SphericalWaveletTransformOperator(simpledata, 0.1, "synthesis",
+                                                L, B, J_min)
+        params = PxMCMCParams(**kw)
+        prior = S2_Wavelets_L1(
+            "synthesis", fwd.transform.inverse, fwd.transform.inverse_adjoint,
+            params.lmda * params.mu, L=L, B=B, J_min=J_min,
+        )
+        return PxMALA(fwd, prior, params, seed=13)
+
+    fast = build()
+    assert fast._gram_ok()
+    fast.run()
+
+    slow = build()
+    slow._gram_ok = lambda: False
+    slow.run()
+
+    assert np.allclose(fast.chain, slow.chain, atol=1e-9), np.abs(
+        fast.chain - slow.chain
+    ).max()
+    assert np.array_equal(fast.acceptance_trace, slow.acceptance_trace)
+    assert np.allclose(fast.L2s, slow.L2s, atol=1e-7)
