@@ -58,6 +58,7 @@ def build_step(L, nchains, seed=0):
     params = PxMCMCParams(
         nsamples=1, nburn=0, ngap=1, delta=1e-6, lmda=1e-6, mu=1,
         verbosity=0, nchains=nchains,
+        fused_step=bool(int(os.environ.get("PXMCMC_BENCH_FUSED", "0"))),
     )
     prior = S2_Wavelets_L1(
         "synthesis", fwd.transform.inverse, fwd.transform.inverse_adjoint,
