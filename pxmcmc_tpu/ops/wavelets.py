@@ -384,3 +384,43 @@ def gram_gradient_real(X: jax.Array, wb: WaveletBasis, gram: jax.Array) -> jax.A
     flm = synthesis_lm_real(X, wb)
     glm = sht.gram_apply_real(flm, gram, wb.main)
     return adjoint_scales_real(glm, wb)
+
+
+# ---------------------------------------------------------------------------
+# Harmonic-space multiresolution transforms (pys2let analysis_lm2lmn /
+# synthesis_lmn2lm equivalents, axisymmetric: W^j_lm = kappa^j_l f_lm).
+# The operator is block-diagonal and real, so synthesis is exactly the
+# transpose of analysis: forward_adjoint == synthesis, inverse_adjoint ==
+# analysis, and synthesis(analysis(f)) == f by admissibility.
+# ---------------------------------------------------------------------------
+
+def analysis_lm(flm: jax.Array, wb: WaveletBasis) -> jax.Array:
+    """Harmonic coefficients -> multires wavelet harmonic pyramid.
+
+    (..., L^2) -> (..., sum_j bl_j^2), [scaling | j=J_min | ...].
+    Equivalent of ``pys2let.analysis_lm2lmn`` (ref ``transforms.py:90``).
+    """
+    out = [
+        flm[..., : bl * bl] * kap
+        for kap, bl in zip(wb.kappa_flm, wb.bandlimits)
+    ]
+    return jnp.concatenate(out, axis=-1)
+
+
+def synthesis_lm(X: jax.Array, wb: WaveletBasis) -> jax.Array:
+    """Multires wavelet harmonic pyramid -> harmonic coefficients.
+
+    Exact inverse of :func:`analysis_lm` (and its transpose).
+    Equivalent of ``pys2let.synthesis_lmn2lm`` (ref ``transforms.py:92``).
+    """
+    L = wb.L
+    flm = None
+    start = 0
+    for kap, bl in zip(wb.kappa_flm, wb.bandlimits):
+        n = bl * bl
+        wlm = X[..., start : start + n] * kap
+        pad = L * L - n
+        wlm_full = jnp.pad(wlm, [(0, 0)] * (wlm.ndim - 1) + [(0, pad)])
+        flm = wlm_full if flm is None else flm + wlm_full
+        start += n
+    return flm

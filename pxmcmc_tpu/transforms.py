@@ -51,19 +51,21 @@ class IdentityTransform(Transform):
 class SphericalWaveletTransform(Transform):
     """Multiresolution axisymmetric spherical wavelet transform.
 
-    Parity with ``/root/reference/pxmcmc/transforms.py:59-166`` in its
-    pixel-space mode (``harmonic=False``); the harmonic mode of the reference
-    wraps pys2let functions that its own tests never exercise
-    (`/root/reference/tests/test_transforms.py:9-11`).
+    Parity with ``/root/reference/pxmcmc/transforms.py:59-166`` in both
+    pixel-space (``harmonic=False``) and harmonic (``harmonic=True``) modes.
 
     :param int L: angular bandlimit
     :param float B: wavelet scale parameter
     :param int J_min: minimum wavelet scale
     :param int dirs: azimuthal bandlimit (only 1 = axisymmetric supported)
     :param int spin: spin number of the signal
+    :param bool harmonic: inputs/outputs in spherical harmonic space, like
+        the reference's pys2let ``analysis_lm2lmn``/``synthesis_lmn2lm``
+        wrapping (``transforms.py:89-93``); the harmonic operator is real
+        block-diagonal, so synthesis is exactly the transpose of analysis
     """
 
-    def __init__(self, L, B, J_min, dirs=1, spin=0, dtype=None):
+    def __init__(self, L, B, J_min, dirs=1, spin=0, harmonic=False, dtype=None):
         self.L = L
         self.B = B
         self.J_min = J_min
@@ -71,23 +73,36 @@ class SphericalWaveletTransform(Transform):
         self.nscales = self.J_max - J_min + 1
         self.dirs = dirs
         self.spin = spin
+        self.harmonic = harmonic
         self.basis = wavelets.get_wavelet_basis(L, B, J_min, spin=spin, dtype=dtype)
-        self.nscal = self.basis.nscal
-        self.nwav = self.basis.nwav
-        self.ncoefs = self.basis.ncoefs
+        if harmonic:
+            self.nscal = int(self.basis.bandlimits[0]) ** 2
+            self.nwav = sum(int(b) ** 2 for b in self.basis.bandlimits[1:])
+        else:
+            self.nscal = self.basis.nscal
+            self.nwav = self.basis.nwav
+        self.ncoefs = self.nscal + self.nwav
 
     def forward(self, X):
-        """Image -> wavelet coefficients (analysis). (..., L(2L-1)) -> (..., ncoefs)."""
+        """Image (or flm) -> wavelet coefficients (analysis)."""
+        if self.harmonic:
+            return wavelets.analysis_lm(jnp.asarray(X), self.basis)
         return wavelets.analysis(jnp.asarray(X), self.basis)
 
     def inverse(self, X):
-        """Wavelet coefficients -> image (synthesis). (..., ncoefs) -> (..., L(2L-1))."""
+        """Wavelet coefficients -> image (or flm) (synthesis)."""
+        if self.harmonic:
+            return wavelets.synthesis_lm(jnp.asarray(X), self.basis)
         return wavelets.synthesis(jnp.asarray(X), self.basis)
 
     def forward_adjoint(self, X):
-        """Adjoint analysis: coefficients -> image."""
+        """Adjoint analysis: coefficients -> image (or flm)."""
+        if self.harmonic:
+            return wavelets.synthesis_lm(jnp.asarray(X), self.basis)
         return wavelets.analysis_adjoint(jnp.asarray(X), self.basis)
 
     def inverse_adjoint(self, X):
-        """Adjoint synthesis: image -> coefficients."""
+        """Adjoint synthesis: image (or flm) -> coefficients."""
+        if self.harmonic:
+            return wavelets.analysis_lm(jnp.asarray(X), self.basis)
         return wavelets.synthesis_adjoint(jnp.asarray(X), self.basis)

@@ -101,3 +101,32 @@ def test_identity_transform():
     x = jnp.arange(5.0)
     for meth in ("forward", "inverse", "forward_adjoint", "inverse_adjoint"):
         assert np.array_equal(np.asarray(getattr(t, meth)(x)), np.asarray(x))
+
+
+class TestHarmonicMode:
+    """harmonic=True transform (pys2let lm2lmn equivalent)."""
+
+    def test_roundtrip(self, L, B, J_min, simpledata_lm):
+        t = SphericalWaveletTransform(L, B, J_min, harmonic=True)
+        X = t.forward(simpledata_lm)
+        assert X.shape[-1] == t.ncoefs
+        rec = np.asarray(t.inverse(X))
+        assert np.allclose(rec, simpledata_lm, atol=1e-12)
+
+    def test_adjoints_are_transposes(self, L, B, J_min, rng):
+        t = SphericalWaveletTransform(L, B, J_min, harmonic=True)
+        x = rng.standard_normal(L * L) + 1j * rng.standard_normal(L * L)
+        y = rng.standard_normal(t.ncoefs) + 1j * rng.standard_normal(t.ncoefs)
+        lhs = np.vdot(y, np.asarray(t.forward(x)))
+        rhs = np.vdot(np.asarray(t.forward_adjoint(y)), x)
+        assert np.isclose(lhs, rhs)
+        lhs = np.vdot(x, np.asarray(t.inverse(y)))
+        rhs = np.vdot(np.asarray(t.inverse_adjoint(x)), y)
+        assert np.isclose(lhs, rhs)
+
+    def test_coefs_count(self, L, B, J_min):
+        t = SphericalWaveletTransform(L, B, J_min, harmonic=True)
+        from pxmcmc_tpu.ops.wavelets import multires_bandlimits
+
+        bls = multires_bandlimits(L, B, J_min)
+        assert t.ncoefs == sum(int(b) ** 2 for b in bls)
