@@ -30,8 +30,14 @@ _CHUNK = 2048  # lanes per grid step (multiple of 128)
 
 
 def _uniform_from_bits(bits):
-    """uint32 -> uniform (0, 1) float32 with 24-bit mantissa."""
-    return (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24)) + (0.5 / (1 << 24))
+    """uint32 -> uniform (0, 1) float32 with 24-bit mantissa.
+
+    Casts via int32 (the top-24 bits fit) — Mosaic has no direct
+    uint32->float32 cast.
+    """
+    return (bits >> 8).astype(jnp.int32).astype(jnp.float32) * (
+        1.0 / (1 << 24)
+    ) + (0.5 / (1 << 24))
 
 
 def _myula_kernel(seed_ref, scal_ref, x_ref, g_ref, t_ref, out_ref):
