@@ -11,7 +11,6 @@ phasevel experiment (~thousands of rows x L(2L-1) columns) fit HBM easily.
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -34,7 +34,7 @@ through `vmap`/`einsum` untouched.
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
 
 import jax

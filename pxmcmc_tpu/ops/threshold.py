@@ -26,7 +26,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _LANE = 128
-_CHUNK = 2048  # lanes per grid step (multiple of 128)
+_CHUNK = 1024  # lanes per grid step (multiple of 128)
+_CBLOCK = 64  # chain rows per grid step (VMEM budget)
 
 
 def _uniform_from_bits(bits):
@@ -42,7 +43,7 @@ def _uniform_from_bits(bits):
 
 def _myula_kernel(seed_ref, scal_ref, x_ref, g_ref, t_ref, out_ref):
     """One (nchains, CHUNK) tile of the fused MYULA update."""
-    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0), pl.program_id(1))
     delta = scal_ref[0]
     lmda = scal_ref[1]
     x = x_ref[:]
@@ -77,31 +78,32 @@ def myula_fused_step(X, gradg, T, delta, lmda, seed, interpret=False):
     """
     nchains, n = X.shape
     n_pad = ((n + _CHUNK - 1) // _CHUNK) * _CHUNK
-    pad = n_pad - n
-    Xp = jnp.pad(X.astype(jnp.float32), ((0, 0), (0, pad)))
-    Gp = jnp.pad(gradg.astype(jnp.float32), ((0, 0), (0, pad)))
+    cb = min(nchains, _CBLOCK)
+    c_pad = ((nchains + cb - 1) // cb) * cb
+    Xp = jnp.pad(X.astype(jnp.float32), ((0, c_pad - nchains), (0, n_pad - n)))
+    Gp = jnp.pad(gradg.astype(jnp.float32), ((0, c_pad - nchains), (0, n_pad - n)))
     Tfull = jnp.broadcast_to(jnp.asarray(T, dtype=jnp.float32), (n,))
-    Tp = jnp.pad(Tfull, (0, pad)).reshape(1, n_pad)
+    Tp = jnp.pad(Tfull, (0, n_pad - n)).reshape(1, n_pad)
     scal = jnp.asarray([delta, lmda], dtype=jnp.float32)
     seed = jnp.asarray([seed], dtype=jnp.int32)
 
-    grid = (n_pad // _CHUNK,)
+    grid = (c_pad // cb, n_pad // _CHUNK)
     out = pl.pallas_call(
         _myula_kernel,
-        out_shape=jax.ShapeDtypeStruct((nchains, n_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((c_pad, n_pad), jnp.float32),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((nchains, _CHUNK), lambda i, *_: (0, i)),
-                pl.BlockSpec((nchains, _CHUNK), lambda i, *_: (0, i)),
-                pl.BlockSpec((1, _CHUNK), lambda i, *_: (0, i)),
+                pl.BlockSpec((cb, _CHUNK), lambda i, j, *_: (i, j)),
+                pl.BlockSpec((cb, _CHUNK), lambda i, j, *_: (i, j)),
+                pl.BlockSpec((1, _CHUNK), lambda i, j, *_: (0, j)),
             ],
-            out_specs=pl.BlockSpec((nchains, _CHUNK), lambda i, *_: (0, i)),
+            out_specs=pl.BlockSpec((cb, _CHUNK), lambda i, j, *_: (i, j)),
         ),
         interpret=interpret,
     )(seed, scal, Xp, Gp, Tp)
-    return out[:, :n].astype(X.dtype)
+    return out[:nchains, :n].astype(X.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -33,7 +33,6 @@ lead); the hot path is the batched-matmul SHT of :mod:`pxmcmc_tpu.ops.sht`.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -17,14 +17,12 @@ try:  # pragma: no cover
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
-    from matplotlib import cm
 
     HAVE_MPL = True
 except Exception:  # pragma: no cover
     HAVE_MPL = False
 
 from .ops import sht
-from .ops.sampling import sample_positions
 from .ops.wavelets import multires_bandlimits
 from .ops.sampling import sample_length, sample_shape
 from .ops import wavelets as _wavelets

@@ -11,7 +11,6 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from .ops import wavelets
-from .ops.sampling import sample_length
 
 
 class Transform:
