@@ -68,12 +68,23 @@ def ind2elm(ind: int) -> tuple[int, int]:
 
 
 def _precompute(L: int, spin: int) -> tuple[np.ndarray, np.ndarray]:
-    """Host-side f64 tables: lam[mi, t, l] and its per-m pseudo-inverse q[mi, l, t]."""
+    """Host-side f64 tables: lam[mi, t, l] and its per-m pseudo-inverse q[mi, l, t].
+
+    The per-m pseudo-inverses are independent SVD problems; a thread pool
+    parallelises them across cores (LAPACK releases the GIL), which matters
+    at L=512 (1023 x 512^2 SVDs).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
     thetas, _ = sampling.sample_positions(L)
     lam = spin_lambda_table(L, spin, thetas)  # (2L-1, L, L)
     q = np.zeros((2 * L - 1, L, L), dtype=np.float64)
-    for mi in range(2 * L - 1):
+
+    def invert(mi):
         q[mi] = np.linalg.pinv(lam[mi], rcond=1e-12)
+
+    with ThreadPoolExecutor() as ex:
+        list(ex.map(invert, range(2 * L - 1)))
     return lam, q
 
 

@@ -72,20 +72,24 @@ class S2_Wavelets_L1(L1):
         self.nscales = self.J_max - J_min + 1
         self.dirs = dirs
         self.spin = spin
-        if setting == "synthesis":
-            bls = wavelets.multires_bandlimits(L, B, J_min, dirs, spin)
-            self.map_weights = jnp.asarray(
-                np.concatenate([mw_map_weights(int(bl)) for bl in bls]),
-                dtype=real_dtype(),
-            )
-        else:
-            raise NotImplementedError(
-                "analysis-setting weighted wavelet prior not implemented "
-                "(matches reference prior.py:79-80)"
-            )
+        # Per-scale exact MW quadrature weights on the multires pyramid.
+        # These weight *coefficients*, which in the analysis setting is the
+        # space adj(X) lives in — so the weighted threshold applies to both
+        # settings.  (The reference raises NotImplementedError for analysis,
+        # prior.py:79-80, which makes its own analysis-mode experiment CLIs
+        # crash; implemented here.)
+        bls = wavelets.multires_bandlimits(L, B, J_min, dirs, spin)
+        self.map_weights = jnp.asarray(
+            np.concatenate([mw_map_weights(int(bl)) for bl in bls]),
+            dtype=real_dtype(),
+        )
         self.T = self.T * self.map_weights
 
     def prior(self, X):
+        """Weighted L1 norm; in the analysis setting X is an image, so the
+        norm applies to its wavelet coefficients."""
+        if self.setting == "analysis":
+            return jnp.sum(jnp.abs(self.map_weights * self.adj(X)), axis=-1)
         return super().prior(self.map_weights * X)
 
 
@@ -99,16 +103,17 @@ class S2_Wavelets_L1_Power_Weights(S2_Wavelets_L1):
     def __init__(self, setting, fwd, adj, T, L, B, J_min, dirs=1, spin=0, eta=1):
         super().__init__(setting, fwd, adj, T, L, B, J_min, dirs, spin)
         self.eta = eta
-        if setting == "synthesis":
-            self._get_weights()
-        else:
-            raise NotImplementedError
+        self._get_weights()
         # NOTE: T already carries the quadrature weights from the parent init;
         # the power weights multiply on top (same stacking as the reference,
-        # prior.py:81 then prior.py:108).
+        # prior.py:81 then prior.py:108).  Like the parent, the analysis
+        # setting is supported here (per-coefficient weights apply to adj(X));
+        # the reference raises NotImplementedError (prior.py:104-107).
         self.T = self.T * self.map_weights
 
     def prior(self, X):
+        if self.setting == "analysis":
+            return jnp.sum(jnp.abs(self.map_weights * self.adj(X)), axis=-1)
         return jnp.sum(jnp.abs(self.map_weights * X), axis=-1)
 
     def _get_weights(self):
