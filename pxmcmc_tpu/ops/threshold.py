@@ -43,7 +43,9 @@ def _uniform_from_bits(bits):
 
 def _myula_kernel(seed_ref, scal_ref, x_ref, g_ref, t_ref, out_ref):
     """One (nchains, CHUNK) tile of the fused MYULA update."""
-    pltpu.prng_seed(seed_ref[0], pl.program_id(0), pl.program_id(1))
+    pltpu.prng_seed(
+        seed_ref[0], pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+    )
     delta = scal_ref[0]
     lmda = scal_ref[1]
     x = x_ref[:]
