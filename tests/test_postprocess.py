@@ -142,3 +142,31 @@ def test_oversample(L, simpledata):
     from pxmcmc_tpu.ops.sampling import s2_integrate
 
     assert np.isclose(s2_integrate(big.flatten(), 32), s2_integrate(f.flatten(), L), atol=1e-8)
+
+
+def test_predictions_tracking(simpledata):
+    """track=['predictions'] records per-sample predictions (incl. the Gram
+    path where predictions are materialised lazily)."""
+    from pxmcmc_tpu.forward import SphericalWaveletTransformOperator
+    from pxmcmc_tpu.prior import S2_Wavelets_L1
+
+    L, B, J_min = 10, 2, 2
+    fwd = SphericalWaveletTransformOperator(simpledata, 0.1, "synthesis", L, B, J_min)
+    params = PxMCMCParams(
+        nsamples=5, nburn=2, ngap=1, verbosity=0, delta=1e-5, lmda=1e-5,
+        track=["logposterior", "L2", "prior", "chain", "predictions"],
+    )
+    prior = S2_Wavelets_L1(
+        "synthesis", fwd.transform.inverse, fwd.transform.inverse_adjoint,
+        params.lmda, L=L, B=B, J_min=J_min,
+    )
+    mcmc = MYULA(fwd, prior, params)
+    assert mcmc._gram_ok()
+    mcmc.run()
+    assert mcmc.preds.shape == (5, 1, len(simpledata))
+    assert np.isfinite(mcmc.preds).all()
+    # predictions equal the forward model of the recorded samples
+    import jax.numpy as jnp
+
+    expect = np.asarray(fwd.forward(jnp.asarray(mcmc.chain[3, 0])))
+    assert np.allclose(mcmc.preds[3, 0], expect, atol=1e-10)
