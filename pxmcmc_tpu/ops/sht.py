@@ -231,6 +231,37 @@ def _real_mat_complex_vec(spec: str, mat: jax.Array, z: jax.Array) -> jax.Array:
     return jax.lax.complex(out[0], out[1])
 
 
+
+def _phi_mats_full(basis: SHTBasis):
+    """Signed-m DFT matrices (p, 2L-1): cos(m phi_p), sin(m phi_p) for
+    m = -(L-1)..L-1, built from the stored m>=0 halves."""
+    c = basis.cos_pm
+    s = basis.sin_pm
+    C = jnp.concatenate([jnp.flip(c[:, 1:], axis=1), c], axis=1)
+    S = jnp.concatenate([-jnp.flip(s[:, 1:], axis=1), s], axis=1)
+    return C, S
+
+
+def _phi_synth_cplx(T: jax.Array, basis: SHTBasis, scale: float) -> jax.Array:
+    """Full-spectrum T (..., 2L-1(m), L(t)) -> map (..., L(t), 2L-1(p)):
+    f[t,p] = scale * sum_m T[m,t] e^{i m phi_p} (DFT-matmul phi mode)."""
+    C, S = _phi_mats_full(basis)
+    Tr, Ti = T.real, T.imag
+    re = _mm(C, Tr, "pm,...mt->...tp") - _mm(S, Ti, "pm,...mt->...tp")
+    im = _mm(C, Ti, "pm,...mt->...tp") + _mm(S, Tr, "pm,...mt->...tp")
+    return jax.lax.complex(re, im) * scale
+
+
+def _phi_analysis_cplx(f: jax.Array, basis: SHTBasis, scale: float) -> jax.Array:
+    """Map (..., L(t), 2L-1(p)) -> full spectrum (..., 2L-1(m), L(t)):
+    T[m,t] = scale * sum_p f[t,p] e^{-i m phi_p}."""
+    C, S = _phi_mats_full(basis)
+    fr, fi = f.real, f.imag
+    re = _mm(C, fr, "pm,...tp->...mt") + _mm(S, fi, "pm,...tp->...mt")
+    im = _mm(C, fi, "pm,...tp->...mt") - _mm(S, fr, "pm,...tp->...mt")
+    return jax.lax.complex(re, im) * scale
+
+
 # ---------------------------------------------------------------------------
 # Transforms.  All accept leading batch dimensions.
 # ---------------------------------------------------------------------------
@@ -246,9 +277,12 @@ def inverse(flm: jax.Array, basis: SHTBasis, reality: bool = False) -> jax.Array
     N = 2 * L - 1
     F = _to_ml(flm.astype(complex_dtype()), basis)  # (..., N, L)
     T = _real_mat_complex_vec("mtl,...ml->...mt", basis.lam, F)  # (..., N(m), L(t))
-    A = jnp.roll(T, -(L - 1), axis=-2)
-    f = N * jnp.fft.ifft(A, axis=-2)  # (..., N(p), L(t))
-    f = jnp.swapaxes(f, -1, -2)  # (..., L, 2L-1)
+    if PHI_MODE == "dft":
+        f = _phi_synth_cplx(T, basis, 1.0)  # (..., L(t), N(p))
+    else:
+        A = jnp.roll(T, -(L - 1), axis=-2)
+        f = N * jnp.fft.ifft(A, axis=-2)  # (..., N(p), L(t))
+        f = jnp.swapaxes(f, -1, -2)  # (..., L, 2L-1)
     return f.real if reality else f
 
 
@@ -262,9 +296,12 @@ def forward(f: jax.Array, basis: SHTBasis) -> jax.Array:
     L = basis.L
     N = 2 * L - 1
     f = f.astype(complex_dtype())
-    Fk = jnp.fft.fft(f, axis=-1) / N  # (..., L(t), N(k))
-    Fm = jnp.roll(Fk, L - 1, axis=-1)  # k -> mi
-    Fm = jnp.swapaxes(Fm, -1, -2)  # (..., N(m), L(t))
+    if PHI_MODE == "dft":
+        Fm = _phi_analysis_cplx(f, basis, 1.0 / N)  # (..., N(m), L(t))
+    else:
+        Fk = jnp.fft.fft(f, axis=-1) / N  # (..., L(t), N(k))
+        Fm = jnp.roll(Fk, L - 1, axis=-1)  # k -> mi
+        Fm = jnp.swapaxes(Fm, -1, -2)  # (..., N(m), L(t))
     G = _real_mat_complex_vec("mlt,...mt->...ml", basis.q, Fm)  # (..., N(m), L(l))
     return _from_ml(G, basis)
 
@@ -278,9 +315,12 @@ def inverse_adjoint(f: jax.Array, basis: SHTBasis) -> jax.Array:
     """
     L = basis.L
     f = f.astype(complex_dtype())
-    Tp = jnp.swapaxes(f, -1, -2)  # (..., N(p), L(t))
-    A = jnp.fft.fft(Tp, axis=-2)  # adjoint of N*ifft
-    T = jnp.roll(A, L - 1, axis=-2)  # (..., N(m), L(t))
+    if PHI_MODE == "dft":
+        T = _phi_analysis_cplx(f, basis, 1.0)  # adjoint of N*ifft: unscaled
+    else:
+        Tp = jnp.swapaxes(f, -1, -2)  # (..., N(p), L(t))
+        A = jnp.fft.fft(Tp, axis=-2)  # adjoint of N*ifft
+        T = jnp.roll(A, L - 1, axis=-2)  # (..., N(m), L(t))
     G = _real_mat_complex_vec("mtl,...mt->...ml", basis.lam, T)  # lam^T contraction
     return _from_ml(G, basis)
 
@@ -292,8 +332,11 @@ def forward_adjoint(flm: jax.Array, basis: SHTBasis) -> jax.Array:
     Equivalent of ``pyssht.forward_adjoint`` (``measurements.py:239``).
     """
     L = basis.L
+    N = 2 * L - 1
     F = _to_ml(flm.astype(complex_dtype()), basis)  # (..., N(m), L(l))
     Ft = _real_mat_complex_vec("mlt,...ml->...mt", basis.q, F)  # q^T: (..., N(m), L(t))
+    if PHI_MODE == "dft":
+        return _phi_synth_cplx(Ft, basis, 1.0 / N)  # adjoint of fft/N
     B = jnp.swapaxes(Ft, -1, -2)  # (..., L(t), N(m))
     B = jnp.roll(B, -(L - 1), axis=-1)  # m -> k
     f = jnp.fft.ifft(B, axis=-1)  # adjoint of fft/N

@@ -176,3 +176,25 @@ def test_bf16_tables_accuracy(L, rng):
     assert out.dtype == np.float32
     rel = np.abs(out - ref).max() / np.abs(ref).max()
     assert rel < 5e-2, rel
+
+
+class TestComplexDftMode:
+    """Complex-path DFT phi-mode equals the FFT mode for both spins."""
+
+    def test_all_transforms_both_modes(self, L, spin, rng, monkeypatch):
+        basis = sht.get_basis(L, spin, use_disk_cache=False)
+        flm = random_flm(L, rng, spin)
+        g = rng.standard_normal((L, 2 * L - 1)) + 1j * rng.standard_normal(
+            (L, 2 * L - 1)
+        )
+        results = {}
+        for mode in ("fft", "dft"):
+            monkeypatch.setattr(sht, "PHI_MODE", mode)
+            results[mode] = [
+                np.asarray(sht.inverse(jnp.asarray(flm), basis)),
+                np.asarray(sht.forward(jnp.asarray(g), basis)),
+                np.asarray(sht.inverse_adjoint(jnp.asarray(g), basis)),
+                np.asarray(sht.forward_adjoint(jnp.asarray(flm), basis)),
+            ]
+        for a, b in zip(results["fft"], results["dft"]):
+            assert np.allclose(a, b, atol=1e-11)
