@@ -134,7 +134,7 @@ def hard(X, T=0.1):
     X = jnp.asarray(X)
     mag = jnp.abs(X)
     srt = jnp.sort(mag)
-    thresh_ind = (T * X.shape[-1]).astype(int) if hasattr(T, "astype") else int(T * X.shape[-1])
+    thresh_ind = int(T * X.shape[-1])
     thresh_val = srt[..., -thresh_ind]
     return jnp.where(mag < thresh_val, 0, X)
 
