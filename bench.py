@@ -29,21 +29,26 @@ sys.path.insert(0, REPO)
 
 L_BENCH = int(os.environ.get("PXMCMC_BENCH_L", 256))
 NCHAINS = int(os.environ.get("PXMCMC_BENCH_CHAINS", 256))
-BASELINE_CACHE = os.path.join(REPO, ".cache", "bench_baseline.json")
+BASELINE_CACHE = os.path.join(
+    REPO, ".cache",
+    f"bench_baseline_{os.environ.get('PXMCMC_BENCH_CONFIG', 'earthtopography')}.json",
+)
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+CONFIG = os.environ.get("PXMCMC_BENCH_CONFIG", "earthtopography")
+
+
 def build_step(L, nchains, seed=0):
-    import jax
     import numpy as np
 
-    from pxmcmc_tpu.forward import SphericalWaveletTransformOperator
     from pxmcmc_tpu.mcmc import MYULA, PxMCMCParams
+    from pxmcmc_tpu.prior import S2_Wavelets_L1
 
-    B, J_min = 1.5, 2
+    B, J_min = (1.5, 2) if CONFIG == "earthtopography" else (2, 2)
     rng = np.random.default_rng(0)
     # Synthetic smooth data field, generated host-side in numpy so bench setup
     # never round-trips the device (the axon tunnel's host transfers can be
@@ -52,14 +57,32 @@ def build_step(L, nchains, seed=0):
     data = rng.standard_normal(npix)
     data = np.convolve(data, np.ones(64) / 64, mode="same")
 
-    from pxmcmc_tpu.prior import S2_Wavelets_L1
-
-    fwd = SphericalWaveletTransformOperator(data, 0.1, "synthesis", L, B, J_min)
     params = PxMCMCParams(
         nsamples=1, nburn=0, ngap=1, delta=1e-6, lmda=1e-6, mu=1,
         verbosity=0, nchains=nchains,
         fused_step=bool(int(os.environ.get("PXMCMC_BENCH_FUSED", "0"))),
     )
+    if CONFIG == "weaklensing":
+        # full WL chain: spin-0/2 SHTs, harmonic kernel, mask, ngal covariance
+        from pxmcmc_tpu.forward import ForwardOperator
+        from pxmcmc_tpu.measurements import WeakLensing
+        from pxmcmc_tpu.transforms import SphericalWaveletTransform
+        from pxmcmc_tpu.utils import build_mask
+
+        mask = build_mask(L, size=10)
+        measurement = WeakLensing(L, mask, ngal=np.full_like(mask, 30.0))
+        transform = SphericalWaveletTransform(L, B, J_min)
+        ndata = measurement.ndata
+        gammas = (rng.standard_normal(ndata) + 1j * rng.standard_normal(ndata)) * 0.01
+        fwd = ForwardOperator(
+            gammas, np.full(ndata, 0.1), "synthesis",
+            transform=transform, measurement=measurement,
+            nparams=transform.ncoefs,
+        )
+    else:
+        from pxmcmc_tpu.forward import SphericalWaveletTransformOperator
+
+        fwd = SphericalWaveletTransformOperator(data, 0.1, "synthesis", L, B, J_min)
     prior = S2_Wavelets_L1(
         "synthesis", fwd.transform.inverse, fwd.transform.inverse_adjoint,
         params.lmda * params.mu, L=L, B=B, J_min=J_min,
@@ -160,7 +183,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"aggregate MYULA chain-iterations/s, earthtopography L={L_BENCH}, {NCHAINS} chains",
+                "metric": f"aggregate MYULA chain-iterations/s, {CONFIG} L={L_BENCH}, {NCHAINS} chains",
                 "value": round(value, 1),
                 "unit": "iterations/s",
                 "vs_baseline": round(value / baseline, 2),
