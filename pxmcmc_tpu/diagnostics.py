@@ -8,6 +8,7 @@ tooling; this is the classic split-chain version).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -91,3 +92,92 @@ def combine_moments(n_a, mean_a, m2_a, n_b, mean_b, m2_b):
     mean = mean_a + delta * (n_b / n)
     m2 = m2_a + m2_b + jnp.abs(delta) ** 2 * (n_a * n_b / n)
     return n, mean, m2
+
+
+# ---------------------------------------------------------------------------
+# Streaming quantiles (P^2 algorithm, Jain & Chlamtac 1985), vectorised over
+# parameters — on-device credible intervals without storing the chain
+# (SURVEY.md hard part #5: the reference keeps O(nsamples x nparams) in RAM).
+# ---------------------------------------------------------------------------
+
+def p2_init(first_five, p):
+    """Initialise a P^2 sketch for quantile ``p`` from the first 5 samples.
+
+    :param first_five: (5, ...) array — the first five observations per
+        parameter (any trailing shape)
+    :param p: target quantile in (0, 1)
+    :return: state pytree (q heights, n positions, np' desired, dn increments)
+    """
+    q = jnp.sort(first_five, axis=0)
+    shape = first_five.shape[1:]
+    n = jnp.broadcast_to(
+        jnp.arange(1.0, 6.0).reshape((5,) + (1,) * len(shape)), (5,) + shape
+    )
+    npos = jnp.broadcast_to(
+        jnp.asarray([1.0, 1 + 2 * p, 1 + 4 * p, 3 + 2 * p, 5.0]).reshape(
+            (5,) + (1,) * len(shape)
+        ),
+        (5,) + shape,
+    )
+    dn = jnp.asarray([0.0, p / 2, p, (1 + p) / 2, 1.0]).reshape(
+        (5,) + (1,) * len(shape)
+    )
+    return {"q": q, "n": n.astype(q.dtype), "npos": npos.astype(q.dtype), "dn": dn}
+
+
+def p2_update(state, x):
+    """Fold one observation (shape = trailing shape of the sketch) into the sketch."""
+    q, n, npos, dn = state["q"], state["n"], state["npos"], state["dn"]
+    # locate cell: k = number of markers with height <= x, clipped to 1..4
+    below = (x[None] >= q).sum(axis=0)
+    k = jnp.clip(below, 1, 4)
+    # update extreme heights
+    q = q.at[0].set(jnp.minimum(q[0], x))
+    q = q.at[4].set(jnp.maximum(q[4], x))
+    # increment positions of markers above the cell
+    idx = jnp.arange(5).reshape((5,) + (1,) * (q.ndim - 1))
+    n = n + (idx >= k[None]).astype(n.dtype)
+    npos = npos + dn
+    # adjust interior markers (i = 1, 2, 3) with the parabolic formula
+    for i in (1, 2, 3):
+        d = npos[i] - n[i]
+        move_up = (d >= 1) & (n[i + 1] - n[i] > 1)
+        move_dn = (d <= -1) & (n[i - 1] - n[i] < -1)
+        s = jnp.where(move_up, 1.0, jnp.where(move_dn, -1.0, 0.0))
+        dq_parab = q[i] + (s / (n[i + 1] - n[i - 1])) * (
+            (n[i] - n[i - 1] + s) * (q[i + 1] - q[i]) / (n[i + 1] - n[i])
+            + (n[i + 1] - n[i] - s) * (q[i] - q[i - 1]) / (n[i] - n[i - 1])
+        )
+        dq_lin = jnp.where(
+            s > 0,
+            q[i] + (q[i + 1] - q[i]) / (n[i + 1] - n[i]),
+            q[i] + (q[i - 1] - q[i]) / (n[i - 1] - n[i]),
+        )
+        parab_ok = (q[i - 1] < dq_parab) & (dq_parab < q[i + 1])
+        newq = jnp.where(parab_ok, dq_parab, dq_lin)
+        do = s != 0
+        q = q.at[i].set(jnp.where(do, newq, q[i]))
+        n = n.at[i].set(jnp.where(do, n[i] + s, n[i]))
+    return {"q": q, "n": n, "npos": npos, "dn": dn}
+
+
+def p2_result(state):
+    """Current quantile estimate (the middle marker height)."""
+    return state["q"][2]
+
+
+def streaming_ci_range(samples, alpha=0.05):
+    """Credible-interval range via two P^2 sketches folded over a sample
+    stream with lax.scan — O(nparams) memory, device-side.
+
+    :param samples: (nsamples, ...) with nsamples >= 10
+    """
+    lo = p2_init(samples[:5], alpha / 2)
+    hi = p2_init(samples[:5], 1 - alpha / 2)
+
+    def fold(carry, x):
+        lo, hi = carry
+        return (p2_update(lo, x), p2_update(hi, x)), None
+
+    (lo, hi), _ = jax.lax.scan(fold, (lo, hi), samples[5:])
+    return p2_result(hi) - p2_result(lo)

@@ -170,3 +170,16 @@ def test_predictions_tracking(simpledata):
 
     expect = np.asarray(fwd.forward(jnp.asarray(mcmc.chain[3, 0])))
     assert np.allclose(mcmc.preds[3, 0], expect, atol=1e-10)
+
+
+def test_streaming_ci_matches_exact_quantiles():
+    """P^2 sketch CI agrees with exact quantiles on a normal stream."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    samples = rng.normal(0, [1.0, 2.0, 0.5], size=(20000, 3))
+    approx = np.asarray(
+        diagnostics.streaming_ci_range(jnp.asarray(samples), alpha=0.05)
+    )
+    exact = uncertainty.credible_interval_range(samples, alpha=0.05)
+    assert np.allclose(approx, exact, rtol=0.05), (approx, exact)
