@@ -193,4 +193,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # the tunnelled TPU backend flakes transiently
+        log(f"retrying once after transient failure: {str(e)[:200]}")
+        time.sleep(10)
+        main()
