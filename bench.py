@@ -88,10 +88,7 @@ def build_step(L, nchains, seed=0):
         params.lmda * params.mu, L=L, B=B, J_min=J_min,
     )
     sampler = MYULA(fwd, prior, params, seed=seed)
-    X, preds = sampler._initial_sample()
-    state = sampler._init_state(X, preds)
-    step = sampler._build_step()
-    return sampler, state, step
+    return sampler
 
 
 def measure(L, nchains, niter, nrep=3):
@@ -99,10 +96,26 @@ def measure(L, nchains, niter, nrep=3):
 
     from pxmcmc_tpu.capture import CaptureThreader
 
-    sampler, state, step = build_step(L, nchains)
+    import jax.numpy as jnp
+    import numpy as np
+
+    sampler = build_step(L, nchains)
+    sampler._prepare()
     threader = CaptureThreader([sampler])
-    if hasattr(sampler, "_prepare"):
-        sampler._prepare()
+    captures0 = threader.get()
+    # initial state without eager op-by-op dispatch (slow over the tunnel):
+    # X on host, predictions (if needed) through one threaded jit call
+    X = jnp.asarray(
+        np.random.default_rng(7).laplace(size=(nchains, sampler.forward.nparams)),
+        dtype=jnp.float32,
+    )
+    if sampler._needs_initial_preds:
+        preds_fn = jax.jit(threader.wrap(lambda x: sampler.forward.forward(x)))
+        preds = preds_fn(captures0, X)
+    else:
+        preds = None
+    state = sampler._init_state(X, preds)
+    step = sampler._build_step()
     captures = threader.get()
 
     def _block(state, keys):

@@ -159,8 +159,19 @@ class PxMCMC:
                 X = start_point.astype(self._xdtype)
             else:
                 raise ValueError("Initial sample given has incorrect size")
+        if not self._needs_initial_preds:
+            return X, None
         preds = self.forward.forward(X)
         return X, preds
+
+    @property
+    def _needs_initial_preds(self) -> bool:
+        """Whether _initial_sample must materialise predictions eagerly.
+
+        The Gram fast path never reads them, and skipping the eager
+        (uncompiled) forward pass matters on remote/tunnelled backends.
+        """
+        return True
 
     # -- runtime ------------------------------------------------------------
     @property
@@ -410,6 +421,10 @@ class MYULA(PxMCMC):
     the same linear operator as the pixel-space chain at ~1/3 of the flops,
     and predictions are only materialised at record points.
     """
+
+    @property
+    def _needs_initial_preds(self) -> bool:
+        return not self._gram_ok()
 
     def _init_state(self, X, preds):
         if self._gram_ok():
