@@ -310,6 +310,11 @@ class PxMCMC:
                 save_checkpoint(checkpoint_path, state, key, j, self._tracking_dict(j))
                 next_ckpt = j + (checkpoint_every or block)
         self.runtime_seconds = time.time() - t_start
+        if "logposterior" in self.track and not np.isfinite(self.logPi).all():
+            print(
+                "WARNING: non-finite log-posterior values in the chain — the "
+                "sampler diverged.  Reduce delta (and lmda) for this problem."
+            )
         self.iterations_per_second = (
             warm_iters / warm_time if warm_time > 0 else
             self.nsamples * gap * self.nchains / max(self.runtime_seconds, 1e-9)

@@ -174,7 +174,10 @@ def plot_evolution(logposteriors, L2s, L1s, figsize=(10, 8)):
         plt.subplot(3, 1, i)
         plt.plot(series)
         plt.axvline(MAP_idx, linestyle="--", c="r")
-        plt.yscale("log")
+        # log scale like the reference (plotting.py:155) when possible;
+        # symlog keeps the plot valid when values cross zero
+        finite = series[np.isfinite(series)]
+        plt.yscale("log" if finite.size and (finite > 0).all() else "symlog")
         plt.ylabel(label)
     return fig
 
