@@ -208,7 +208,11 @@ def main():
 if __name__ == "__main__":
     try:
         main()
-    except Exception as e:  # the tunnelled TPU backend flakes transiently
-        log(f"retrying once after transient failure: {str(e)[:200]}")
-        time.sleep(10)
-        main()
+    except Exception as e:  # the tunnelled TPU backend flakes transiently and
+        # a failed process keeps a wedged connection: retry in a fresh process
+        if os.environ.get("PXMCMC_BENCH_RETRIED") != "1":
+            log(f"re-executing after transient failure: {str(e)[:200]}")
+            os.environ["PXMCMC_BENCH_RETRIED"] = "1"
+            time.sleep(15)
+            os.execv(sys.executable, [sys.executable] + sys.argv)
+        raise
