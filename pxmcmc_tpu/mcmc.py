@@ -118,12 +118,70 @@ class PxMCMC:
         return -self.mu * prior - L2, L2, prior
 
     def _gradlogpi(self, X, preds=None):
-        """Moreau-Yosida envelope gradient (ref ``mcmc.py:84-89``)."""
+        """Moreau-Yosida envelope gradient (ref ``mcmc.py:84-89``).
+
+        Uses the Gram fast path for the fidelity term when the model admits
+        it (see :meth:`MYULA._gram_ok`), skipping pixel space entirely.
+        """
         gradf = (X - self.prior.proxf(X)) / self.lmda
-        if preds is None:
-            preds = self.forward.forward(X)
-        gradg = self._cast(self.forward.calc_gradg(preds))
+        if self._gram_ok():
+            gradg = self._gram_gradg(X)
+        else:
+            if preds is None:
+                preds = self.forward.forward(X)
+            gradg = self._cast(self.forward.calc_gradg(preds))
         return -gradf - gradg
+
+    def _gram_ok(self) -> bool:
+        """Whether the normal-operator (Gram) gradient fast path applies:
+        real chain, synthesis setting, square identity measurement, scalar
+        real noise, spin-0 wavelet transform."""
+        from .measurements import Identity
+        from .transforms import SphericalWaveletTransform
+
+        fwd = self.forward
+        return (
+            not self.complex
+            and getattr(fwd, "setting", None) == "synthesis"
+            and isinstance(getattr(fwd, "measurement", None), Identity)
+            and fwd.measurement.ndata == fwd.measurement.npix
+            and getattr(fwd, "_invcov_kind", None) == "scalar"
+            and not jnp.iscomplexobj(fwd.invcov)
+            and isinstance(getattr(fwd, "transform", None), SphericalWaveletTransform)
+            and fwd.transform.spin == 0
+            and not getattr(fwd.transform, "harmonic", False)
+        )
+
+    def _setup_gram(self):
+        """Precompute Gram tables and the constant term b = S^T invcov y."""
+        from .ops import sht as _sht
+
+        tr = self.forward.transform
+        self._gram = _sht.get_gram(tr.L, 0)
+        y_weighted = (self.forward.invcov * self.forward.data).real.astype(
+            real_dtype()
+        )
+        self._gram_b = self._cast(tr.inverse_adjoint(y_weighted))
+
+    def _gram_gradg(self, X):
+        from .ops.wavelets import gram_gradient_real
+
+        stsx = gram_gradient_real(X, self.forward.transform.basis, self._gram)
+        return self.forward.invcov * stsx - self._gram_b
+
+    def _prepare(self):
+        """Hook for precomputing derived device tables before capture setup."""
+        if self._gram_ok() and not hasattr(self, "_gram"):
+            self._setup_gram()
+
+    @property
+    def _needs_initial_preds(self) -> bool:
+        """Whether _initial_sample must materialise predictions eagerly.
+
+        The Gram fast path never reads them, and skipping the eager
+        (uncompiled) forward pass matters on remote/tunnelled backends.
+        """
+        return True
 
     def _cast(self, v):
         """Project operator outputs onto the sampled dtype (real part for real chains)."""
@@ -163,15 +221,6 @@ class PxMCMC:
             return X, None
         preds = self.forward.forward(X)
         return X, preds
-
-    @property
-    def _needs_initial_preds(self) -> bool:
-        """Whether _initial_sample must materialise predictions eagerly.
-
-        The Gram fast path never reads them, and skipping the eager
-        (uncompiled) forward pass matters on remote/tunnelled backends.
-        """
-        return True
 
     # -- runtime ------------------------------------------------------------
     @property
@@ -390,9 +439,6 @@ class PxMCMC:
         if "predictions" in self.track:
             self.preds[sl] = recs["predictions"]
 
-    def _prepare(self):
-        """Hook for precomputing derived device tables before capture setup."""
-
     # -- to be provided by subclasses ---------------------------------------
     def _init_state(self, X, preds):
         raise NotImplementedError
@@ -436,39 +482,6 @@ class MYULA(PxMCMC):
             return ChainState(X=X, preds=None)
         return ChainState(X=X, preds=preds)
 
-    def _gram_ok(self) -> bool:
-        from .measurements import Identity
-        from .transforms import SphericalWaveletTransform
-
-        fwd = self.forward
-        return (
-            not self.complex
-            and getattr(fwd, "setting", None) == "synthesis"
-            and isinstance(getattr(fwd, "measurement", None), Identity)
-            and fwd.measurement.ndata == fwd.measurement.npix
-            and getattr(fwd, "_invcov_kind", None) == "scalar"
-            and not jnp.iscomplexobj(fwd.invcov)
-            and isinstance(getattr(fwd, "transform", None), SphericalWaveletTransform)
-            and fwd.transform.spin == 0
-        )
-
-    def _setup_gram(self):
-        """Precompute Gram tables and the constant term b = S^T invcov y."""
-        from .ops import sht as _sht
-
-        tr = self.forward.transform
-        self._gram = _sht.get_gram(tr.L, 0)
-        y_weighted = (self.forward.invcov * self.forward.data).real.astype(
-            real_dtype()
-        )
-        self._gram_b = self._cast(tr.inverse_adjoint(y_weighted))
-
-    def _gram_gradg(self, X):
-        from .ops.wavelets import gram_gradient_real
-
-        stsx = gram_gradient_real(X, self.forward.transform.basis, self._gram)
-        return self.forward.invcov * stsx - self._gram_b
-
     def chain_step(self, X, proxf, gradg, w, delta=None):
         """Euler-Maruyama step (ref ``mcmc.py:185-201``)."""
         delta = self.delta if delta is None else delta
@@ -478,10 +491,6 @@ class MYULA(PxMCMC):
             - delta * gradg
             + jnp.sqrt(2 * delta) * w
         )
-
-    def _prepare(self):
-        if self._gram_ok() and not hasattr(self, "_gram"):
-            self._setup_gram()
 
     def _build_step(self):
         gram = self._gram_ok()
@@ -793,7 +802,13 @@ class SKROCK(PxMCMC):
             ks[j] = 1 - nus[j]
         self.mus, self.nus, self.ks = mus, nus, ks
 
+    @property
+    def _needs_initial_preds(self) -> bool:
+        return not self._gram_ok()
+
     def _init_state(self, X, preds):
+        if self._gram_ok():
+            return ChainState(X=X, preds=None)
         return ChainState(X=X, preds=preds)
 
     def chain_step(self, X, Z):
@@ -811,10 +826,14 @@ class SKROCK(PxMCMC):
         return K
 
     def _build_step(self):
+        gram = self._gram_ok()
+        if gram and not hasattr(self, "_gram"):
+            self._setup_gram()
+
         def step(state, key):
             Z = self._noise(key, state.X.shape)
-            X = self.chain_step(state.X, Z)
-            preds = self.forward.forward(X)
+            X = self.chain_step(state.X, Z)  # _gradlogpi uses the gram path
+            preds = None if gram else self.forward.forward(X)
             return ChainState(X=X, preds=preds), ()
 
         return step

@@ -244,3 +244,33 @@ def test_pxmala_gram_path_matches_standard(simpledata, L, B, J_min):
     ).max()
     assert np.array_equal(fast.acceptance_trace, slow.acceptance_trace)
     assert np.allclose(fast.L2s, slow.L2s, atol=1e-7)
+
+
+def test_skrock_gram_path_matches_standard(simpledata, L, B, J_min):
+    """SKROCK's per-stage gradients through the Gram tables reproduce the
+    pixel-space chain exactly."""
+    from pxmcmc_tpu.forward import SphericalWaveletTransformOperator
+    from pxmcmc_tpu.prior import S2_Wavelets_L1
+
+    kw = dict(nsamples=8, nburn=2, ngap=2, verbosity=0, delta=1e-5, lmda=1e-5,
+              s=4, nchains=2)
+
+    def build():
+        fwd = SphericalWaveletTransformOperator(simpledata, 0.1, "synthesis",
+                                                L, B, J_min)
+        params = PxMCMCParams(**kw)
+        prior = S2_Wavelets_L1(
+            "synthesis", fwd.transform.inverse, fwd.transform.inverse_adjoint,
+            params.lmda * params.mu, L=L, B=B, J_min=J_min,
+        )
+        return SKROCK(fwd, prior, params, seed=17)
+
+    fast = build()
+    assert fast._gram_ok()
+    fast.run()
+    slow = build()
+    slow._gram_ok = lambda: False
+    slow.run()
+    assert np.allclose(fast.chain, slow.chain, atol=1e-9), np.abs(
+        fast.chain - slow.chain
+    ).max()
