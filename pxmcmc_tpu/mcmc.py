@@ -121,10 +121,12 @@ class PxMCMC:
         """Moreau-Yosida envelope gradient (ref ``mcmc.py:84-89``).
 
         Uses the Gram fast path for the fidelity term when the model admits
-        it (see :meth:`MYULA._gram_ok`), skipping pixel space entirely.
+        it (see :meth:`_gram_ok`), skipping pixel space entirely.
         """
         gradf = (X - self.prior.proxf(X)) / self.lmda
         if self._gram_ok():
+            if not hasattr(self, "_gram"):
+                self._setup_gram()
             gradg = self._gram_gradg(X)
         else:
             if preds is None:
