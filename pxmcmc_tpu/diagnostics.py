@@ -181,3 +181,50 @@ def streaming_ci_range(samples, alpha=0.05):
 
     (lo, hi), _ = jax.lax.scan(fold, (lo, hi), samples[5:])
     return p2_result(hi) - p2_result(lo)
+
+
+def summary_init(xblock, alpha=0.05):
+    """Device-side posterior summary state from a first block of samples.
+
+    :param xblock: (nrec, nchains, nparams) recorded samples (>= 5 records)
+    :return: dict {count, mean, m2, lo, hi} — running moments + P^2 sketches
+        of the alpha/2 and 1-alpha/2 quantiles, all shaped (nchains, nparams)
+    """
+    n, mean, m2 = chain_moments(xblock)
+    lo = p2_init(xblock[:5], alpha / 2)
+    hi = p2_init(xblock[:5], 1 - alpha / 2)
+
+    def fold(carry, x):
+        lo, hi = carry
+        return (p2_update(lo, x), p2_update(hi, x)), None
+
+    (lo, hi), _ = jax.lax.scan(fold, (lo, hi), xblock[5:])
+    return {
+        "count": jnp.asarray(n, dtype=jnp.float64 if mean.dtype == jnp.float64 else jnp.float32),
+        "mean": mean,
+        "m2": m2,
+        "lo": lo,
+        "hi": hi,
+    }
+
+
+def summary_update(summary, xblock):
+    """Fold another block of recorded samples into a summary state."""
+    nb, mb, m2b = chain_moments(xblock)
+    n, mean, m2 = combine_moments(
+        summary["count"], summary["mean"], summary["m2"], nb, mb, m2b
+    )
+
+    def fold(carry, x):
+        lo, hi = carry
+        return (p2_update(lo, x), p2_update(hi, x)), None
+
+    (lo, hi), _ = jax.lax.scan(fold, (summary["lo"], summary["hi"]), xblock)
+    return {"count": n, "mean": mean, "m2": m2, "lo": lo, "hi": hi}
+
+
+def summary_results(summary):
+    """(mean, variance, ci_range) per (chain, parameter) from a summary state."""
+    var = summary["m2"] / summary["count"]
+    ci = p2_result(summary["hi"]) - p2_result(summary["lo"])
+    return summary["mean"], var, ci

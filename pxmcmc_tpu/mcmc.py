@@ -108,6 +108,7 @@ class PxMCMC:
             setattr(self, attr, getattr(params, attr))
         self.params = params
         self.seed = seed
+        self._summary = None
         self._xdtype = complex_dtype() if self.complex else real_dtype()
 
     # -- posterior ----------------------------------------------------------
@@ -261,6 +262,13 @@ class PxMCMC:
         After the run, ``self.runtime_seconds`` and
         ``self.iterations_per_second`` (aggregate chain-iterations/s, warm
         superblocks only) hold throughput observability data.
+
+        With ``"summary"`` in ``track``, posterior mean / variance / credible
+        -interval range per (chain, parameter) are accumulated **on device**
+        (running moments + P^2 quantile sketches; no chain storage) and land
+        in ``posterior_mean`` / ``posterior_var`` / ``ci_range`` — the
+        production path for runs too large to keep thinned chains.  (Summary
+        state is not yet saved into checkpoints.)
         """
         from .capture import CaptureThreader
 
@@ -350,6 +358,19 @@ class PxMCMC:
             if j > 0:  # skip the compile superblock for throughput stats
                 warm_iters += nblk * gap * self.nchains
                 warm_time += dt
+            if "summary" in self.track:
+                from .diagnostics import summary_init, summary_update
+
+                xb = recs["chain"] if "chain" in self.track else recs.pop("chain")
+                if getattr(self, "_summary", None) is None:
+                    if nblk < 5:
+                        raise ValueError(
+                            "track='summary' needs the first superblock to "
+                            "hold >= 5 records"
+                        )
+                    self._summary = jax.jit(summary_init)(xb)
+                else:
+                    self._summary = jax.jit(summary_update)(self._summary, xb)
             recs = jax.device_get(recs)
             self._store_tracking(j, nblk, recs, jax.device_get(traces))
             j += nblk
@@ -360,6 +381,13 @@ class PxMCMC:
 
                 save_checkpoint(checkpoint_path, state, key, j, self._tracking_dict(j))
                 next_ckpt = j + (checkpoint_every or block)
+        if "summary" in self.track and getattr(self, "_summary", None) is not None:
+            from .diagnostics import summary_results
+
+            m, v, ci = summary_results(self._summary)
+            self.posterior_mean = np.asarray(jax.device_get(m))
+            self.posterior_var = np.asarray(jax.device_get(v))
+            self.ci_range = np.asarray(jax.device_get(ci))
         self.runtime_seconds = time.time() - t_start
         if "logposterior" in self.track and not np.isfinite(self.logPi).all():
             print(
@@ -422,7 +450,7 @@ class PxMCMC:
         if need_logpi:
             logPi, L2, prior = self.logpi(state.X, preds)
             rec.update(logposterior=logPi, L2=L2, prior=prior)
-        if "chain" in self.track:
+        if "chain" in self.track or "summary" in self.track:
             rec["chain"] = state.X
         if "predictions" in self.track:
             rec["predictions"] = preds

@@ -183,3 +183,41 @@ def test_streaming_ci_matches_exact_quantiles():
     )
     exact = uncertainty.credible_interval_range(samples, alpha=0.05)
     assert np.allclose(approx, exact, rtol=0.05), (approx, exact)
+
+
+def test_summary_tracking_matches_exact(simpledata):
+    """track=['summary'] accumulates mean/var/CI on device matching the
+    exact statistics of a chain-tracked run."""
+    from pxmcmc_tpu.forward import ForwardOperator
+    from pxmcmc_tpu.measurements import Identity
+    from pxmcmc_tpu.transforms import IdentityTransform
+
+    n = len(simpledata)
+    fwd = ForwardOperator(
+        simpledata, 0.5, "synthesis", IdentityTransform(), Identity(n, n), nparams=n
+    )
+    prox = L1("synthesis", None, None, 1e-8)
+    kw = dict(nsamples=2000, nburn=100, ngap=2, verbosity=0, delta=1e-2,
+              lmda=5e-2, nchains=2)
+
+    full = MYULA(fwd, prox, PxMCMCParams(track=["logposterior", "chain"], **kw),
+                 seed=3)
+    full.run()
+    summ = MYULA(fwd, prox, PxMCMCParams(track=["logposterior", "summary"], **kw),
+                 seed=3)
+    summ.run()
+    assert not hasattr(summ, "chain")
+    exact_mean = full.chain.mean(axis=0)
+    exact_var = full.chain.var(axis=0)
+    assert np.allclose(summ.posterior_mean, exact_mean, atol=1e-6)
+    assert np.allclose(summ.posterior_var, exact_var, rtol=1e-4)
+    from pxmcmc_tpu.uncertainty import credible_interval_range
+
+    exact_ci = np.stack(
+        [credible_interval_range(full.chain[:, c]) for c in range(2)]
+    )
+    rel = np.abs(summ.ci_range - exact_ci) / exact_ci
+    # P^2 sketches on correlated MCMC streams: typical error is a few
+    # percent, tails can be larger
+    assert np.median(rel) < 0.05, np.median(rel)
+    assert rel.max() < 0.35, rel.max()
