@@ -1,0 +1,209 @@
+r"""On-device SHT table generation — zero bulk host->device transfer.
+
+The host path (:mod:`pxmcmc_tpu.ops.wigner` + per-m ``np.linalg.pinv``) builds
+the spin spherical-harmonic basis tables in float64 on the CPU and uploads
+them to the accelerator.  At production bandlimits that upload is the setup
+bottleneck: L=512 spin-0+spin-2 tables are ~2 GB of f64 on the wire (and the
+host pinv is 1023 independent 512x512 SVDs).  This module generates the same
+tables *on the device* from a few kilobytes of per-m seed scalars:
+
+1. ``spin_lambda_device`` — the Wigner-d upward three-term recursion in l
+   (identical math to ``wigner.wigner_d_table``, see that module's docstring
+   for the recurrence; the reference reaches the equivalent C code via
+   ``pyssht`` at ``/root/reference/pxmcmc/measurements.py:223-239``) run as a
+   ``lax.scan`` over degree, vectorised over (m, theta).  Only O(L) scalars
+   (angles, per-m seed exponents) cross the host->device boundary.
+
+2. ``pinv_from_lambda_device`` — the per-m least-squares left inverses
+   ``Q_m = pinv(Lambda_m)`` via the normal equations
+   ``Q_m = (Lambda_m^T Lambda_m)^+ Lambda_m^T`` (Moore-Penrose identity
+   A^+ = (A^T A)^+ A^T).  The nonzero blocks of Lambda_m are extremely well
+   conditioned on MW sampling (measured cond <= ~25 for L up to 512), so a
+   batched Cholesky solve with one step of iterative refinement matches the
+   host SVD pinv to f32 accuracy.  Zero columns (l < max(|m|, |spin|)) are
+   regularised with an identity block, which reproduces the pinv's zero rows
+   exactly.
+
+Numerics: the recursion is the *dominant*-solution direction (stable
+upwards); in f32 the relative error grows like O(sqrt(L))*eps ~ 1e-5 at
+L=512 — below the f32 transform pipeline's own roundoff.  Seed magnitudes
+that underflow f32 (|m| rings near the poles) are exactly the entries an f32
+*cast* of the host f64 table would flush to zero anyway, and the paired
+pseudo-inverse is computed from the same table, so round-trip exactness on
+the bandlimited subspace is preserved by construction.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.special import gammaln
+
+from . import sampling
+
+__all__ = ["spin_lambda_device", "pinv_from_lambda_device", "gram_from_lambda_device"]
+
+
+def _seed_coefficients(L: int, n: int) -> tuple[np.ndarray, ...]:
+    """Host-side per-m seed data for the l-recursion: O(L) scalars only.
+
+    For each m the recursion starts at l0 = max(|m|, |n|) with the closed
+    form d^{l0}_{mn} = sgn * exp(logC + pc*log cos(theta/2) + ps*log sin(theta/2))
+    (four sign/exponent cases; see ``wigner.wigner_d_table``).
+    """
+    ms = np.arange(-(L - 1), L)
+    an = abs(n)
+    a = np.abs(ms)
+    l0 = np.maximum(a, an)
+
+    m_major = a >= an  # which index dominates the seed degree
+    j = np.where(m_major, a, an)
+    k = np.where(m_major, n, ms)
+    pc = np.where(
+        m_major,
+        np.where(ms >= 0, a + n, a - n),
+        np.where(n >= 0, an + ms, an - ms),
+    )
+    ps = np.where(
+        m_major,
+        np.where(ms >= 0, a - n, a + n),
+        np.where(n >= 0, an - ms, an + ms),
+    )
+    sgn = np.where(
+        m_major,
+        np.where(ms >= 0, (-1.0) ** (a - n), 1.0),
+        np.where(n >= 0, 1.0, (-1.0) ** (an + ms)),
+    )
+    logC = 0.5 * (gammaln(2 * j + 1.0) - gammaln(j + k + 1.0) - gammaln(j - k + 1.0))
+    return l0.astype(np.int32), pc.astype(np.float64), ps.astype(np.float64), sgn, logC
+
+
+@partial(jax.jit, static_argnames=("L", "n", "dtype"))
+def _wigner_scan(
+    L: int,
+    n: int,
+    thetas: jax.Array,
+    l0: jax.Array,
+    pc: jax.Array,
+    ps: jax.Array,
+    sgn: jax.Array,
+    logC: jax.Array,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """lax.scan over degree l; carry is the (2L-1, T) pair (d^{l-1}, d^l)."""
+    thetas = thetas.astype(dtype)
+    x = jnp.cos(thetas)[None, :]  # (1, T)
+    logc = jnp.log(jnp.maximum(jnp.abs(jnp.cos(thetas / 2.0)), 1e-30))
+    logsb = jnp.log(jnp.maximum(jnp.abs(jnp.sin(thetas / 2.0)), 1e-30))
+    # Seeds (2L-1, T); exp underflow -> 0 is the correct flush at this dtype.
+    seed = (sgn[:, None] * jnp.exp(logC[:, None] + pc[:, None] * logc[None, :]
+                                   + ps[:, None] * logsb[None, :])).astype(dtype)
+    ms = jnp.arange(-(L - 1), L, dtype=dtype)[:, None]  # (2L-1, 1)
+    nf = dtype(float(n)) if callable(dtype) else jnp.asarray(float(n), dtype)
+
+    d0 = jnp.zeros((2 * L - 1, thetas.size), dtype=dtype)
+
+    def body(carry, l):
+        d_lm1, d_l = carry
+        lf = l.astype(dtype)
+        starting = (l0 == l)[:, None]
+        d_l = jnp.where(starting, seed, d_l)
+        d_lm1 = jnp.where(starting, 0.0, d_lm1)
+        active = (l0 <= l)[:, None]
+        out = jnp.where(active, d_l, 0.0)
+        # advance l -> l+1 (three-term recursion; guarded 0/0 at inactive rows)
+        a_num = (2 * lf + 1) * (lf * (lf + 1) * x - ms * nf)
+        b_num = (lf + 1) * jnp.sqrt(jnp.maximum(lf**2 - ms**2, 0.0)) * jnp.sqrt(
+            jnp.maximum(lf**2 - nf**2, 0.0)
+        )
+        denom = lf * jnp.sqrt(jnp.maximum((lf + 1) ** 2 - ms**2, 0.0)) * jnp.sqrt(
+            (lf + 1) ** 2 - nf**2
+        )
+        general = (a_num * d_l - b_num * d_lm1) / jnp.where(denom > 0, denom, 1.0)
+        general = jnp.where(denom > 0, general, 0.0)
+        # l == 0 only steps the (m=0, n=0) row: d^1_{00} = cos(theta) d^0_{00}
+        d_next = jnp.where(l == 0, x * d_l, general)
+        d_lm1 = jnp.where(active, d_l, d_lm1)
+        d_l = jnp.where(active, d_next, d_l)
+        return (d_lm1, d_l), out
+
+    _, cols = jax.lax.scan(body, (d0, d0), jnp.arange(L, dtype=jnp.int32))
+    return jnp.moveaxis(cols, 0, -1)  # (2L-1, T, L)
+
+
+def spin_lambda_device(L: int, spin: int, dtype=jnp.float32) -> jax.Array:
+    """Device-generated s_lambda table, shape (2L-1, L(theta), L(l)).
+
+    Equals ``wigner.spin_lambda_table(L, spin, mw_thetas)`` cast to ``dtype``
+    (up to dtype roundoff), built entirely on the accelerator from O(L) host
+    scalars.
+    """
+    n = -spin
+    thetas, _ = sampling.sample_positions(L)
+    l0, pc, ps, sgn, logC = _seed_coefficients(L, n)
+    d = _wigner_scan(
+        L, n,
+        jnp.asarray(thetas),
+        jnp.asarray(l0),
+        jnp.asarray(pc, dtype=dtype),
+        jnp.asarray(ps, dtype=dtype),
+        jnp.asarray(sgn, dtype=dtype),
+        jnp.asarray(logC, dtype=dtype),
+        dtype=jnp.dtype(dtype).type,
+    )
+    ls = np.arange(L)
+    norm = (-1.0) ** spin * np.sqrt((2 * ls + 1) / (4.0 * np.pi))
+    return d * jnp.asarray(norm, dtype=d.dtype)[None, None, :]
+
+
+@jax.jit
+def gram_from_lambda_device(lam_pos: jax.Array) -> jax.Array:
+    """Per-m Gram matrices N * Lambda_m^T Lambda_m from the m>=0 table half.
+
+    Device equivalent of ``sht.get_gram`` (see there for why this collapses
+    the gradient's pixel round-trip).  ``lam_pos``: (L, T, L) -> (L, L, L).
+    """
+    N = 2 * lam_pos.shape[1] - 1
+    return N * jnp.einsum(
+        "mtl,mtk->mlk", lam_pos, lam_pos, preferred_element_type=lam_pos.dtype
+    )
+
+
+@jax.jit
+def pinv_from_lambda_device(lam: jax.Array) -> jax.Array:
+    """Batched Moore-Penrose left inverses Q_m = pinv(Lambda_m), on device.
+
+    Uses A^+ = (A^T A)^+ A^T with a Cholesky solve on the identity-regularised
+    zero-column block plus one step of iterative refinement.  Matches the host
+    ``np.linalg.pinv`` tables to working precision (tested).
+    ``lam``: (M, T, L) -> (M, L, T).
+    """
+    G = jnp.einsum("mtl,mtk->mlk", lam, lam, preferred_element_type=lam.dtype)
+    diag = jnp.diagonal(G, axis1=-2, axis2=-1)  # (M, L)
+    # Zero columns (l < max(|m|,|spin|), or f32-underflowed polar rows) get an
+    # identity block: (G+P)^-1 stays block-diagonal and reproduces pinv's
+    # zero rows because the matching rows of Lambda^T are zero too.
+    dead = diag <= jnp.max(diag, axis=-1, keepdims=True) * jnp.asarray(
+        1e-12 if lam.dtype == jnp.float64 else 1e-10, lam.dtype
+    )
+    Greg = G + jnp.zeros_like(G).at[
+        ..., jnp.arange(G.shape[-1]), jnp.arange(G.shape[-1])
+    ].set(dead.astype(lam.dtype))
+    C = jnp.linalg.cholesky(Greg)
+    B = jnp.swapaxes(lam, -1, -2)  # (M, L, T) = Lambda^T
+
+    def solve(rhs):
+        y = jax.lax.linalg.triangular_solve(
+            C, rhs, left_side=True, lower=True, transpose_a=False
+        )
+        return jax.lax.linalg.triangular_solve(
+            C, y, left_side=True, lower=True, transpose_a=True
+        )
+
+    Q = solve(B)
+    # One refinement step: kills the cond(G)*eps residual of the normal
+    # equations (cond(Lambda) <= ~25 on MW sampling, so one step suffices).
+    Q = Q + solve(B - jnp.einsum("mlk,mkt->mlt", Greg, Q))
+    return jnp.where(dead[..., None], 0.0, Q)

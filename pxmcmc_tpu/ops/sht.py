@@ -132,29 +132,50 @@ jax.tree_util.register_dataclass(
 _BASIS_CACHE: dict = {}
 
 
-def get_basis(L: int, spin: int = 0, dtype=None, use_disk_cache: bool = True) -> SHTBasis:
+def tables_mode() -> str:
+    """Where the big (lam, q) tables are built: 'host' (f64 numpy + pinv,
+    uploaded) or 'device' (Wigner scan + Cholesky pinv on the accelerator,
+    zero bulk transfer — see :mod:`pxmcmc_tpu.ops.device_tables`).
+    PXMCMC_SHT_TABLES overrides; 'auto' picks 'device' on TPU backends, where
+    the multi-GB upload (not the math) dominates setup.
+    """
+    mode = os.environ.get("PXMCMC_SHT_TABLES", "auto")
+    if mode == "auto":
+        return "device" if jax.default_backend() == "tpu" else "host"
+    return mode
+
+
+def get_basis(L: int, spin: int = 0, dtype=None, use_disk_cache: bool = True,
+              tables: str | None = None) -> SHTBasis:
     """Build (or fetch) the transform basis for (L, spin).
 
-    Precompute is float64 on host; tables land on device in ``dtype``
+    Precompute is float64 on host (``tables='host'``) or generated on device
+    (``tables='device'``); tables land on device in ``dtype``
     (default: f64 under x64, else f32; PXMCMC_SHT_DTYPE=bfloat16 opts the
     matmul tables into bf16 for 2x MXU rate at ~1e-2 relative error).
     """
     env_dt = os.environ.get("PXMCMC_SHT_DTYPE")
     dtype = dtype or (jnp.dtype(env_dt) if env_dt else None) or real_dtype()
-    key = (L, spin, jnp.dtype(dtype).name)
+    mode = tables or tables_mode()
+    key = (L, spin, jnp.dtype(dtype).name, mode)
     if key in _BASIS_CACHE:
         return _BASIS_CACHE[key]
 
-    path = _cache_path(L, spin)
-    if use_disk_cache and os.path.exists(path):
-        with np.load(path) as z:
+    if mode == "device":
+        from .device_tables import pinv_from_lambda_device, spin_lambda_device
+
+        gen_dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        lam64 = spin_lambda_device(L, spin, dtype=gen_dtype)
+        q64 = pinv_from_lambda_device(lam64)
+    elif use_disk_cache and os.path.exists(_cache_path(L, spin)):
+        with np.load(_cache_path(L, spin)) as z:
             lam64, q64 = z["lam"], z["q"]
     else:
         lam64, q64 = _precompute(L, spin)
         if use_disk_cache and L >= 64:
-            tmp = path + ".tmp.npz"
+            tmp = _cache_path(L, spin) + ".tmp.npz"
             np.savez(tmp, lam=lam64, q=q64)
-            os.replace(tmp, path)
+            os.replace(tmp, _cache_path(L, spin))
 
     ls = np.arange(L)
     ms = np.arange(-(L - 1), L)
@@ -462,7 +483,8 @@ def forward_adjoint_real(flm: jax.Array, basis: SHTBasis) -> jax.Array:
 _GRAM_CACHE: dict = {}
 
 
-def get_gram(L: int, spin: int = 0, dtype=None, use_disk_cache: bool = True) -> jax.Array:
+def get_gram(L: int, spin: int = 0, dtype=None, use_disk_cache: bool = True,
+             tables: str | None = None) -> jax.Array:
     """Per-m Gram matrices of the synthesis operator: G_m = N * Lambda_m^T Lambda_m.
 
     For a *scalar* pixel weighting c, the composition
@@ -472,9 +494,18 @@ def get_gram(L: int, spin: int = 0, dtype=None, use_disk_cache: bool = True) -> 
     skip pixel space entirely.  m >= 0 half only (real path); (L, L, L).
     """
     dtype = dtype or real_dtype()
-    key = (L, spin, jnp.dtype(dtype).name)
+    mode = tables or tables_mode()
+    key = (L, spin, jnp.dtype(dtype).name, mode)
     if key in _GRAM_CACHE:
         return _GRAM_CACHE[key]
+    if mode == "device":
+        from .device_tables import gram_from_lambda_device, spin_lambda_device
+
+        gen_dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        lam_pos = spin_lambda_device(L, spin, dtype=gen_dtype)[L - 1 :]
+        g = gram_from_lambda_device(lam_pos).astype(dtype)
+        _GRAM_CACHE[key] = g
+        return g
     path = os.path.join(cache_dir(), f"sht_gram_L{L}_spin{spin}.npz")
     if use_disk_cache and os.path.exists(path):
         with np.load(path) as z:

@@ -1,0 +1,76 @@
+"""On-device table generation vs the host f64 reference path.
+
+The device path (``ops/device_tables.py``) must reproduce the host tables
+(Wigner recursion + SVD pinv, ``ops/wigner.py`` / ``ops/sht._precompute``)
+and plug into the transforms unchanged: same round-trip and adjoint
+guarantees the reference gets from SSHT (`/root/reference/tests/
+test_transforms.py`).
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pxmcmc_tpu.ops import sampling, sht
+from pxmcmc_tpu.ops.device_tables import (
+    gram_from_lambda_device,
+    pinv_from_lambda_device,
+    spin_lambda_device,
+)
+from pxmcmc_tpu.ops.wigner import spin_lambda_table
+
+
+@pytest.fixture(params=[0, 2])
+def spin(request):
+    return request.param
+
+
+def test_lambda_matches_host(spin):
+    L = 16
+    thetas, _ = sampling.sample_positions(L)
+    host = spin_lambda_table(L, spin, thetas)
+    dev = np.asarray(spin_lambda_device(L, spin, dtype=jnp.float64))
+    assert dev.shape == host.shape
+    np.testing.assert_allclose(dev, host, atol=1e-12)
+
+
+def test_lambda_f32_close_to_host(spin):
+    L = 32
+    thetas, _ = sampling.sample_positions(L)
+    host = spin_lambda_table(L, spin, thetas)
+    dev = np.asarray(spin_lambda_device(L, spin, dtype=jnp.float32))
+    # f32 recursion: absolute error ~sqrt(L)*eps relative to O(1) entries.
+    np.testing.assert_allclose(dev, host, atol=5e-5)
+
+
+def test_pinv_matches_host_svd(spin):
+    L = 16
+    lam = spin_lambda_device(L, spin, dtype=jnp.float64)
+    q_dev = np.asarray(pinv_from_lambda_device(lam))
+    q_host = np.stack([np.linalg.pinv(np.asarray(lam)[mi], rcond=1e-12)
+                       for mi in range(2 * L - 1)])
+    np.testing.assert_allclose(q_dev, q_host, atol=1e-10)
+
+
+def test_gram_matches_host(spin):
+    L = 16
+    g_host = np.asarray(sht.get_gram(L, spin, use_disk_cache=False, tables="host"))
+    g_dev = np.asarray(sht.get_gram(L, spin, use_disk_cache=False, tables="device"))
+    np.testing.assert_allclose(g_dev, g_host, atol=1e-10)
+
+
+def test_device_basis_roundtrip_and_adjoints(spin, rng):
+    """Device-built basis satisfies the same operator identities as host."""
+    L = 12
+    basis = sht.get_basis(L, spin, use_disk_cache=False, tables="device")
+    flm = rng.standard_normal(L * L) + 1j * rng.standard_normal(L * L)
+    flm[: spin * spin] = 0.0
+    f = sht.inverse(jnp.asarray(flm), basis)
+    np.testing.assert_allclose(np.asarray(sht.forward(f, basis)), flm, atol=1e-10)
+    # adjoint dot-tests: <f, A x> == <A^T f, x>
+    g = rng.standard_normal((L, 2 * L - 1)) + 1j * rng.standard_normal((L, 2 * L - 1))
+    lhs = np.vdot(g, np.asarray(sht.inverse(jnp.asarray(flm), basis)))
+    rhs = np.vdot(np.asarray(sht.inverse_adjoint(jnp.asarray(g), basis)), flm)
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-10)
+    lhs = np.vdot(flm, np.asarray(sht.forward(jnp.asarray(g), basis)))
+    rhs = np.vdot(np.asarray(sht.forward_adjoint(jnp.asarray(flm), basis)), g)
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-10)
