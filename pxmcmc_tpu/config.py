@@ -26,6 +26,18 @@ def cache_dir() -> str:
     return d
 
 
+# Persistent XLA compilation cache: first compile of the L=256 sampler step
+# is ~10 min on a v5e (round-1 VERDICT weak #2); cached reloads are seconds.
+# Keyed by program + compiler version, so it is always safe to keep on.
+# Opt out with PXMCMC_COMPILATION_CACHE=0.
+if os.environ.get("PXMCMC_COMPILATION_CACHE", "1") != "0":
+    _xla_cache = os.path.join(cache_dir(), "xla")
+    os.makedirs(_xla_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _xla_cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
 def x64_enabled() -> bool:
     return bool(jax.config.jax_enable_x64)
 

@@ -51,6 +51,30 @@ def test_pinv_matches_host_svd(spin):
     np.testing.assert_allclose(q_dev, q_host, atol=1e-10)
 
 
+def test_pinv_f32_at_oom_regression_shape(spin):
+    """Round-1 regression: the driver's v5e OOM'd scoped VMEM inside the
+    batched Cholesky/triangular_solve pinv at the bl=87 multires scale
+    (f32[173,1,87,87] InvertDiagBlocksLowerTriangular custom call, 18.73 MB
+    vs the 16 MB limit).  The replacement is matmul-only — XLA tiles batched
+    GEMMs with bounded VMEM at any batch size — so this shape must both
+    compile everywhere and stay accurate in f32."""
+    L = 87
+    lam = spin_lambda_device(L, spin, dtype=jnp.float32)
+    q_dev = np.asarray(pinv_from_lambda_device(lam))
+    assert q_dev.shape == (2 * L - 1, L, L)
+    lam64 = np.asarray(lam, dtype=np.float64)
+    # left-inverse property on the live block: Q Lambda == I_valid
+    ql = np.einsum("mlt,mtk->mlk", q_dev.astype(np.float64), lam64)
+    for mi in (0, L - 1, 2 * L - 2):
+        m = mi - (L - 1)
+        lo = max(abs(m), spin)
+        np.testing.assert_allclose(
+            ql[mi][lo:, lo:], np.eye(L - lo), atol=5e-5
+        )
+        # dead rows are exactly zero
+        assert np.all(q_dev[mi][:lo] == 0.0)
+
+
 def test_gram_matches_host(spin):
     L = 16
     g_host = np.asarray(sht.get_gram(L, spin, use_disk_cache=False, tables="host"))
