@@ -22,13 +22,42 @@ def _flatten_state(state):
     return leaves, treedef
 
 
-def save_checkpoint(path, state, key, j, tracking: dict):
+def _summary_to_payload(summary) -> dict:
+    """Flatten a device-side summary pytree (nested dicts of arrays) into
+    path-named npz entries so resume restores ``track='summary'`` state."""
+    out = {}
+    if summary is None:
+        return out
+    for kp, leaf in jax.tree_util.tree_flatten_with_path(summary)[0]:
+        name = "/".join(str(k.key) for k in kp)
+        out[f"summary/{name}"] = np.asarray(jax.device_get(leaf))
+    return out
+
+
+def _summary_from_payload(z):
+    """Rebuild the nested summary dict from path-named npz entries."""
+    root = None
+    for full in z.files:
+        if not full.startswith("summary/"):
+            continue
+        if root is None:
+            root = {}
+        parts = full[len("summary/"):].split("/")
+        d = root
+        for p in parts[:-1]:
+            d = d.setdefault(p, {})
+        d[parts[-1]] = jax.numpy.asarray(z[full])
+    return root
+
+
+def save_checkpoint(path, state, key, j, tracking: dict, summary=None):
     """Atomically write a checkpoint npz."""
     leaves, _ = _flatten_state(state)
     payload = {f"state_{i}": np.asarray(jax.device_get(x)) for i, x in enumerate(leaves)}
     payload["key_data"] = np.asarray(jax.random.key_data(key))
     for name, arr in tracking.items():
         payload[f"track_{name}"] = arr
+    payload.update(_summary_to_payload(summary))
     payload[_META] = np.frombuffer(
         json.dumps({"j": int(j), "nleaves": len(leaves), "tracks": list(tracking)}).encode(),
         dtype=np.uint8,
@@ -39,10 +68,11 @@ def save_checkpoint(path, state, key, j, tracking: dict):
 
 
 def load_checkpoint(path, state_template):
-    """Restore (state, key, j, tracking) from a checkpoint.
+    """Restore (state, key, j, tracking, summary) from a checkpoint.
 
     ``state_template`` supplies the pytree structure (and device placement /
-    sharding via its leaves' shardings).
+    sharding via its leaves' shardings).  ``summary`` is None for runs
+    without ``track='summary'``.
     """
     with np.load(path) as z:
         meta = json.loads(bytes(z[_META].tobytes()).decode())
@@ -57,4 +87,5 @@ def load_checkpoint(path, state_template):
         state = jax.tree_util.tree_unflatten(treedef, new_leaves)
         key = jax.random.wrap_key_data(jax.numpy.asarray(z["key_data"]))
         tracking = {name: z[f"track_{name}"] for name in meta["tracks"]}
-    return state, key, meta["j"], tracking
+        summary = _summary_from_payload(z)
+    return state, key, meta["j"], tracking, summary

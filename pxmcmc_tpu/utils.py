@@ -130,11 +130,18 @@ def soft(X, T=0.1):
 
 
 def hard(X, T=0.1):
-    """Keep the largest 100T% of values by modulus (ref ``utils.py:70-81``)."""
+    """Keep the largest 100T% of values by modulus (ref ``utils.py:70-81``).
+
+    Guards the reference's small-T edge: when ``int(T * n) == 0`` the
+    reference indexes ``srt[-0]`` — the *minimum* — and keeps everything;
+    here T small enough to keep zero values keeps zero values.
+    """
     X = jnp.asarray(X)
     mag = jnp.abs(X)
-    srt = jnp.sort(mag)
     thresh_ind = int(T * X.shape[-1])
+    if thresh_ind <= 0:
+        return jnp.zeros_like(X)
+    srt = jnp.sort(mag)
     thresh_val = srt[..., -thresh_ind]
     return jnp.where(mag < thresh_val, 0, X)
 
