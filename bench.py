@@ -150,7 +150,38 @@ def measure(L, nchains, niter, nrep=3):
         rate = nchains * niter / dt
         log(f"  rep {r}: {dt:.3f}s -> {rate:,.0f} chain-iters/s")
         best = max(best, rate)
-    return best
+
+    # ESS/s (BASELINE.json metric): record a short segment of the leading
+    # coefficients, compute device-side ESS (diagnostics.py mesh reduction),
+    # divide by the segment's wall time.
+    ess_per_s = None
+    ness = int(os.environ.get("PXMCMC_BENCH_ESS_ITERS", 128))
+    if ness > 0:
+        nrec = min(256, sampler.forward.nparams)
+
+        def _block_rec(state, keys):
+            def step_rec(st, key):
+                st, _ = step(st, key)
+                return st, st.X[..., :nrec]
+
+            return jax.lax.scan(step_rec, state, keys)
+
+        block_rec_j = jax.jit(threader.wrap(_block_rec))
+        keys = jax.random.split(jax.random.fold_in(key, 999), ness)
+        log(f"ESS segment compile + measure ({ness} iters, {nrec} coefs)...")
+        state2, _ = block_rec_j(captures, state, keys)
+        sync(state2)  # compile + warm
+        t0 = time.time()
+        state2, recs = block_rec_j(captures, state, keys)
+        sync(state2)
+        dt_rec = time.time() - t0
+        from pxmcmc_tpu.diagnostics import effective_sample_size_device
+
+        ess = effective_sample_size_device(recs)
+        ess_per_s = float(jnp.median(jnp.asarray(ess))) / dt_rec
+        log(f"  ESS segment: {dt_rec:.3f}s -> median ESS/s {ess_per_s:,.1f} "
+            f"(summed over {nchains} chains)")
+    return best, ess_per_s
 
 
 def cpu_baseline():
@@ -164,13 +195,13 @@ def cpu_baseline():
     code = (
         "import sys; sys.path.insert(0, %r)\n"
         "import bench, json\n"
-        "rate = bench.measure(bench.L_BENCH, 1, niter=5, nrep=1)\n"
+        "rate, _ = bench.measure(bench.L_BENCH, 1, niter=5, nrep=1)\n"
         "print('BASELINE_JSON ' + json.dumps(rate))\n" % REPO
     )
     # the CPU baseline gets the phi mode that is fastest on CPU (pocketfft
     # handles odd lengths well; the DFT matmuls only pay off on the MXU)
     env = dict(os.environ, PXMCMC_PLATFORM="cpu", JAX_PLATFORMS="cpu",
-               PXMCMC_SHT_PHI="fft")
+               PXMCMC_SHT_PHI="fft", PXMCMC_BENCH_ESS_ITERS="0")
     r = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True,
         timeout=3600, env=env, cwd=REPO,
@@ -192,17 +223,18 @@ def cpu_baseline():
 def main():
     baseline = cpu_baseline()
     log(f"CPU single-chain baseline: {baseline:.2f} iters/s")
-    value = measure(L_BENCH, NCHAINS, niter=int(os.environ.get("PXMCMC_BENCH_NITER", 20)))
-    print(
-        json.dumps(
-            {
-                "metric": f"aggregate MYULA chain-iterations/s, {CONFIG} L={L_BENCH}, {NCHAINS} chains",
-                "value": round(value, 1),
-                "unit": "iterations/s",
-                "vs_baseline": round(value / baseline, 2),
-            }
-        )
+    value, ess_per_s = measure(
+        L_BENCH, NCHAINS, niter=int(os.environ.get("PXMCMC_BENCH_NITER", 20))
     )
+    out = {
+        "metric": f"aggregate MYULA chain-iterations/s, {CONFIG} L={L_BENCH}, {NCHAINS} chains",
+        "value": round(value, 1),
+        "unit": "iterations/s",
+        "vs_baseline": round(value / baseline, 2),
+    }
+    if ess_per_s is not None:
+        out["ess_per_s"] = round(ess_per_s, 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -89,3 +89,36 @@ def test_checkpoint_resume(fwd_prox, tmp_path):
     resumed = MYULA(fwd, prox, params, seed=3)
     resumed.run(checkpoint_path=ck)  # resumes at j == nsamples: loads + no-op
     assert np.allclose(resumed.chain[:12], part.chain[:12])
+
+
+def test_device_diagnostics_match_host_numpy():
+    """Sharded device-side ESS / split-R-hat / CI reductions (shard_map +
+    psum/all_gather over the chains axis) equal the host numpy versions."""
+    import jax.numpy as jnp
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pxmcmc_tpu import diagnostics, uncertainty
+    from pxmcmc_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(11)
+    ns, nc, p = 64, 16, 7
+    chain = np.cumsum(rng.standard_normal((ns, nc, p)), axis=0) * 0.1
+    chain += rng.standard_normal((ns, nc, p))
+
+    mesh = make_mesh(8)
+    sharded = jax.device_put(
+        jnp.asarray(chain), NamedSharding(mesh, P(None, "chains"))
+    )
+
+    ess_host = diagnostics.effective_sample_size(chain)
+    rhat_host = diagnostics.split_rhat(chain)
+    ci_host = uncertainty.credible_interval_range(chain.reshape(ns * nc, p))
+
+    for mesh_arg, x in ((None, jnp.asarray(chain)), (mesh, sharded)):
+        ess = np.asarray(diagnostics.effective_sample_size_device(x, mesh=mesh_arg))
+        rhat = np.asarray(diagnostics.split_rhat_device(x, mesh=mesh_arg))
+        ci = np.asarray(diagnostics.ci_range_device(x, mesh=mesh_arg))
+        np.testing.assert_allclose(ess, ess_host, rtol=1e-8)
+        np.testing.assert_allclose(rhat, rhat_host, rtol=1e-10)
+        np.testing.assert_allclose(ci, ci_host, rtol=1e-10)
