@@ -655,10 +655,22 @@ class PxMALA(MYULA):
 
     :param tune_delta: Robbins-Monro tuning of ``delta`` toward 0.5 acceptance
         (``mcmc.py:277-279``), per chain.
+    :param target: which density the MH step corrects toward —
+        ``"consistent"`` (default) accepts against ``-mu*prior - L2/2``, the
+        density whose gradient the MYULA proposal drift actually uses;
+        ``"reference"`` accepts against ``-mu*prior - L2``, the reference's
+        convention (``/root/reference/pxmcmc/mcmc.py:242-245``), which
+        double-counts the fidelity relative to its own drift and therefore
+        samples a posterior with halved fidelity variance.  See PARITY.md
+        for measured numbers.
     """
 
-    def __init__(self, forward, prior, mcmcparams=None, tune_delta=True, seed=0):
+    def __init__(self, forward, prior, mcmcparams=None, tune_delta=True, seed=0,
+                 target="consistent"):
         super().__init__(forward, prior, mcmcparams, seed=seed)
+        if target not in ("consistent", "reference"):
+            raise ValueError("target must be 'consistent' or 'reference'")
+        self.target = target
         self.tune_delta = tune_delta
         self.acceptance_trace = None
         self.deltas_trace = None
@@ -735,9 +747,16 @@ class PxMALA(MYULA):
         -mu*prior - L2/2.  (The reference accepts against its reported
         ``logpi`` = -mu*prior - L2, double-counting the fidelity relative to
         its own drift; its MYULA and PxMALA therefore sample *different*
-        posteriors.  Here both samplers target exp(-mu*prior - L2/2); the
-        reported/saved ``logposterior`` keeps the reference's convention.)
+        posteriors.  By default both samplers here target
+        exp(-mu*prior - L2/2); ``target="reference"`` reproduces the
+        reference convention — MH corrects any proposal toward its target,
+        so that mode samples exp(-mu*prior - L2) exactly, i.e. the fidelity
+        with variance sigma^2/2.  Measured numbers in PARITY.md.  The
+        reported/saved ``logposterior`` keeps the reference's convention
+        either way.)
         """
+        if self.target == "reference":
+            return -self.mu * prior - L2
         return -self.mu * prior - L2 / 2
 
     def _tune(self, delta, accept, it):

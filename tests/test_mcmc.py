@@ -109,6 +109,40 @@ def test_myula_targets_gaussian_posterior():
     assert np.allclose(var, sigma ** 2, rtol=0.5)
 
 
+def test_pxmala_target_conventions_gaussian():
+    """The two PxMALA acceptance targets sample the posteriors their
+    conventions imply (MH corrects any proposal toward its target):
+
+    - target='consistent' (default): exp(-L2/2) -> variance sigma^2
+    - target='reference' (ref mcmc.py:242-245): exp(-L2) -> variance sigma^2/2
+
+    This is the measured adjudication of the reference's drift/target
+    mismatch recorded in PARITY.md.
+    """
+    n = 16
+    y = np.linspace(-1, 1, n)
+    sigma = 0.5
+    fwd = ForwardOperator(
+        y, sigma, "synthesis", IdentityTransform(), Identity(n, n), nparams=n
+    )
+    prox = L1("synthesis", None, None, 1e-8)
+    kw = dict(nsamples=4000, nburn=500, ngap=5, verbosity=0, delta=2e-2,
+              lmda=5e-2, mu=1e-6, nchains=2)
+
+    got = {}
+    for target in ("consistent", "reference"):
+        mcmc = PxMALA(fwd, prox, PxMCMCParams(**kw), seed=5, target=target)
+        mcmc.run()
+        samples = mcmc.chain.reshape(-1, n)
+        got[target] = (samples.mean(axis=0), samples.var(axis=0))
+        assert np.allclose(got[target][0], y, atol=0.15)
+    assert np.allclose(got["consistent"][1], sigma**2, rtol=0.5)
+    assert np.allclose(got["reference"][1], sigma**2 / 2, rtol=0.5)
+    # the two conventions are distinguishable: variance ratio near 2
+    ratio = np.median(got["consistent"][1] / got["reference"][1])
+    assert 1.5 < ratio < 2.6, ratio
+
+
 def test_pxmala_acceptance_tuning(forwardop, prox):
     params = PxMCMCParams(nsamples=50, nburn=10, ngap=2, verbosity=0, delta=1e-4)
     mcmc = PxMALA(forwardop, prox, params, tune_delta=True)
