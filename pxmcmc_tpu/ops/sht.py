@@ -145,37 +145,60 @@ def tables_mode() -> str:
     return mode
 
 
+def forward_convention() -> str:
+    """Which left inverse the forward (analysis) transform realises:
+    'pinv' (least-squares pseudo-inverse, the default) or 'quadrature'
+    (SSHT's Fourier-quadrature convention, :mod:`pxmcmc_tpu.ops.quadrature`).
+    Identical on bandlimited signals; they differ in how out-of-band (noise)
+    content is projected — measured in PARITY.md.  PXMCMC_SHT_FORWARD
+    overrides."""
+    return os.environ.get("PXMCMC_SHT_FORWARD", "pinv")
+
+
 def get_basis(L: int, spin: int = 0, dtype=None, use_disk_cache: bool = True,
-              tables: str | None = None) -> SHTBasis:
+              tables: str | None = None, forward_conv: str | None = None) -> SHTBasis:
     """Build (or fetch) the transform basis for (L, spin).
 
     Precompute is float64 on host (``tables='host'``) or generated on device
     (``tables='device'``); tables land on device in ``dtype``
     (default: f64 under x64, else f32; PXMCMC_SHT_DTYPE=bfloat16 opts the
     matmul tables into bf16 for 2x MXU rate at ~1e-2 relative error).
+    ``forward_conv='quadrature'`` swaps the analysis tables for SSHT's
+    quadrature left inverse (host-built; see :func:`forward_convention`).
     """
     env_dt = os.environ.get("PXMCMC_SHT_DTYPE")
     dtype = dtype or (jnp.dtype(env_dt) if env_dt else None) or real_dtype()
     mode = tables or tables_mode()
-    key = (L, spin, jnp.dtype(dtype).name, mode)
+    fconv = forward_conv or forward_convention()
+    if fconv not in ("pinv", "quadrature"):
+        raise ValueError("forward_conv must be 'pinv' or 'quadrature'")
+    key = (L, spin, jnp.dtype(dtype).name, mode, fconv)
     if key in _BASIS_CACHE:
         return _BASIS_CACHE[key]
 
+    need_pinv = fconv == "pinv"
     if mode == "device":
         from .device_tables import pinv_from_lambda_device, spin_lambda_device
 
         gen_dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         lam64 = spin_lambda_device(L, spin, dtype=gen_dtype)
-        q64 = pinv_from_lambda_device(lam64)
-    elif use_disk_cache and os.path.exists(_cache_path(L, spin)):
+        q64 = pinv_from_lambda_device(lam64) if need_pinv else None
+    elif need_pinv and use_disk_cache and os.path.exists(_cache_path(L, spin)):
         with np.load(_cache_path(L, spin)) as z:
             lam64, q64 = z["lam"], z["q"]
-    else:
+    elif need_pinv:
         lam64, q64 = _precompute(L, spin)
         if use_disk_cache and L >= 64:
             tmp = _cache_path(L, spin) + ".tmp.npz"
             np.savez(tmp, lam=lam64, q=q64)
             os.replace(tmp, _cache_path(L, spin))
+    else:
+        thetas, _ = sampling.sample_positions(L)
+        lam64 = spin_lambda_table(L, spin, thetas)
+    if not need_pinv:
+        from .quadrature import quadrature_analysis_tables
+
+        q64 = quadrature_analysis_tables(L, spin, use_disk_cache=use_disk_cache)
 
     ls = np.arange(L)
     ms = np.arange(-(L - 1), L)

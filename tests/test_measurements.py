@@ -103,3 +103,49 @@ def test_weaklensing_batched(L, rng):
     assert out.shape == (3, operator.ndata)
     single = np.asarray(operator.forward(jnp.asarray(kappa[1])))
     assert np.allclose(out[1], single)
+
+
+def test_weaklensing_gradient_convention_independent(rng):
+    """The forward-SHT left-inverse convention (pinv vs SSHT quadrature,
+    PXMCMC_SHT_FORWARD) cancels out of the posterior gradient chain: the
+    only q-table compositions it contains are inverse_adjoint(forward_adjoint)
+    = (forward(inverse))^T, which is the identity on the bandlimited subspace
+    for ANY left inverse.  Posteriors are therefore convention-independent
+    even on noisy data (PARITY.md §2) — verified here on the full WeakLensing
+    gradient at machine precision."""
+    import os
+
+    from pxmcmc_tpu.forward import ForwardOperator
+    from pxmcmc_tpu.ops import sht
+    from pxmcmc_tpu.transforms import SphericalWaveletTransform
+
+    L, B, J_min = 16, 2, 2
+    mask = np.ones((L, 2 * L - 1), bool)
+    ngal = np.full((L, 2 * L - 1), 30.0)
+    grads = {}
+    X = None
+    try:
+        for conv in ("pinv", "quadrature"):
+            os.environ["PXMCMC_SHT_FORWARD"] = conv
+            sht._BASIS_CACHE.clear()
+            meas = WeakLensing(L, mask, ngal=ngal)
+            trans = SphericalWaveletTransform(L, B, J_min)
+            if X is None:
+                X = rng.standard_normal(trans.ncoefs)
+                gam = 0.01 * (
+                    rng.standard_normal(meas.ndata)
+                    + 1j * rng.standard_normal(meas.ndata)
+                )  # pure noise data: maximal out-of-band content
+            fwd = ForwardOperator(
+                gam, 0.1, "synthesis", transform=trans, measurement=meas,
+                nparams=trans.ncoefs,
+            )
+            preds = fwd.forward(jnp.asarray(X))
+            grads[conv] = np.asarray(fwd.calc_gradg(preds))
+    finally:
+        os.environ.pop("PXMCMC_SHT_FORWARD", None)
+        sht._BASIS_CACHE.clear()
+    scale = np.abs(grads["pinv"]).max()
+    np.testing.assert_allclose(
+        grads["quadrature"], grads["pinv"], atol=1e-12 * max(scale, 1.0)
+    )
