@@ -152,6 +152,7 @@ class PxMCMC:
             and not jnp.iscomplexobj(fwd.invcov)
             and isinstance(getattr(fwd, "transform", None), SphericalWaveletTransform)
             and fwd.transform.spin == 0
+            and getattr(fwd.transform, "dirs", 1) == 1
             and not getattr(fwd.transform, "harmonic", False)
         )
 

@@ -100,25 +100,62 @@ def tiling(B: float, L: int, J_min: int) -> tuple[np.ndarray, np.ndarray]:
     return eta, kappas
 
 
+def tiling_direction(L: int, N: int) -> np.ndarray:
+    """Directionality harmonic coefficients s[l, n + N - 1], n = -(N-1)..N-1.
+
+    Harmonic split of the directional wavelet (McEwen et al. 2015, the
+    construction S2LET's ``s2let_tiling_direction`` realises): for each l,
+    ``s_ln`` is supported on ``|n| <= gamma_l``, ``n == gamma_l (mod 2)``
+    with ``gamma_l`` the largest integer ``<= min(l, N-1)`` of parity
+    opposite to N, and
+
+        s_ln = sqrt( binom(gamma_l, (gamma_l - n)/2) / 2^gamma_l ),
+
+    so that ``sum_n s_ln^2 = 1`` exactly (binomial theorem) — the identity
+    that makes directional analysis+synthesis exactly invertible for any N.
+    Negative orders carry ``s_{l,-n} = (-1)^n s_{l,n}``, which makes the
+    gamma-sampled wavelet coefficients of a real signal real (derived from
+    ``d^l_{-m,-n} = (-1)^{m-n} d^l_{mn}``; tested).  N=1 reduces to
+    ``s_l0 = 1`` (axisymmetric).
+    """
+    from scipy.special import comb
+
+    s = np.zeros((L, 2 * N - 1))
+    for el in range(L):
+        gamma = min(el, N - 1)
+        if (N + gamma) % 2 == 0:  # need (N + n) odd, n == gamma (mod 2)
+            gamma -= 1
+        if gamma < 0:
+            continue  # no directional support (even N at l = 0)
+        for n in range(-gamma, gamma + 1, 2):
+            val = np.sqrt(comb(gamma, (gamma - n) // 2) / 2.0 ** gamma)
+            s[el, n + N - 1] = val if n >= 0 else (-1.0) ** n * val
+    return s
+
+
 def wavelet_tiling(B: float, L: int, dirs: int = 1, J_min: int = 0, spin: int = 0):
     """pys2let.wavelet_tiling-compatible output: (phi_l, psi_lm).
 
     phi_l: (L,) scaling-function harmonic coefficients
-    sqrt((2l+1)/4pi) eta_l; psi_lm: (L^2, J) wavelet coefficients with the
-    axisymmetric m=0 entries populated.  Used by the power-weighted prior
+    sqrt((2l+1)/4pi) eta_l; psi_lm: (L^2, J) wavelet coefficients — for
+    dirs=1 only the axisymmetric m=0 entries are populated; for dirs>1 the
+    |m| < dirs entries carry the directionality split
+    (:func:`tiling_direction`).  Used by the power-weighted prior
     (`/root/reference/pxmcmc/prior.py:121,132`) and multires bandlimits
-    (``utils.py:116-125``).  Only dirs=1 (axisymmetric) is supported.
+    (``utils.py:116-125``).
     """
-    if dirs != 1:
-        raise NotImplementedError("directional wavelets (dirs > 1) not supported")
     eta, kappas = tiling(B, L, J_min)
     norm = np.sqrt((2 * np.arange(L) + 1) / (4.0 * np.pi))
     phi_l = norm * eta
     J = kappas.shape[0]
     psi_lm = np.zeros((L * L, J), dtype=complex)
+    s = tiling_direction(L, dirs)
     for j in range(J):
         for el in range(L):
-            psi_lm[el * el + el, j] = norm[el] * kappas[j, el]
+            for n in range(-min(el, dirs - 1), min(el, dirs - 1) + 1):
+                v = norm[el] * kappas[j, el] * s[el, n + dirs - 1]
+                if v != 0.0:
+                    psi_lm[el * el + el + n, j] = v
     return phi_l, psi_lm
 
 
@@ -383,6 +420,240 @@ def gram_gradient_real(X: jax.Array, wb: WaveletBasis, gram: jax.Array) -> jax.A
     flm = synthesis_lm_real(X, wb)
     glm = sht.gram_apply_real(flm, gram, wb.main)
     return adjoint_scales_real(glm, wb)
+
+
+# ---------------------------------------------------------------------------
+# Directional wavelets (dirs = N > 1).  Reference surface: pys2let's
+# N/dirs parameter threaded through `/root/reference/pxmcmc/transforms.py:84`
+# and `forward.py:98-106`.  TPU-native design: the directional coefficients
+# of scale j live on an SO(3) MW grid (2N-1 gamma samples x bl x 2bl-1); the
+# gamma direction is a small exact DFT over the azimuthal orders n (|n| < N,
+# (N+n) odd), and each order-n component is a spin-(-n) SHT — the existing
+# batched-matmul machinery of :mod:`pxmcmc_tpu.ops.sht` with its exact
+# per-m left inverses, so analysis/synthesis stay exactly inverse and all
+# adjoint dot-tests carry over.  Real input -> real coefficients (see
+# :func:`tiling_direction`).
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class DirectionalWaveletBasis:
+    """Device-resident directional wavelet transform (dirs = N >= 2)."""
+
+    L: int
+    B: float
+    J_min: int
+    J_max: int
+    dirs: int
+    bandlimits: tuple  # (nscales+1,): [scaling, j=J_min..J_max]
+    ns: tuple  # allowed azimuthal orders n (length N)
+    eta_flm: jax.Array  # (bl0^2,) scaling tiling over lm
+    scal_basis: sht.SHTBasis
+    psi: tuple  # per wavelet scale: (N, bl^2) real kappa_j(l) s_{ln} over lm
+    dir_bases: tuple  # per wavelet scale: tuple over n of SHTBasis(bl, -n)
+    Egamma: jax.Array  # (2N-1, N) complex: e^{i n gamma_g}
+    main: sht.SHTBasis
+
+    @property
+    def nscal(self) -> int:
+        return sampling.sample_length(self.bandlimits[0])
+
+    @property
+    def nwav(self) -> int:
+        G = 2 * self.dirs - 1
+        return sum(G * sampling.sample_length(b) for b in self.bandlimits[1:])
+
+    @property
+    def ncoefs(self) -> int:
+        return self.nscal + self.nwav
+
+    @property
+    def npix(self) -> int:
+        return sampling.sample_length(self.L)
+
+
+jax.tree_util.register_dataclass(
+    DirectionalWaveletBasis,
+    data_fields=["eta_flm", "scal_basis", "psi", "dir_bases", "Egamma", "main"],
+    meta_fields=["L", "B", "J_min", "J_max", "dirs", "bandlimits", "ns"],
+)
+
+_DWB_CACHE: dict = {}
+
+
+def get_directional_basis(
+    L: int, B: float, J_min: int, dirs: int, dtype=None, use_disk_cache: bool = True
+) -> DirectionalWaveletBasis:
+    assert dirs >= 2, "use get_wavelet_basis for the axisymmetric case"
+    dtype = dtype or real_dtype()
+    key = (L, float(B), J_min, dirs, jnp.dtype(dtype).name)
+    if key in _DWB_CACHE:
+        return _DWB_CACHE[key]
+    N = dirs
+    eta, kappas = tiling(B, L, J_min)
+    bls = tuple(int(b) for b in multires_bandlimits(L, B, J_min))
+    s = tiling_direction(L, N)
+    ns = tuple(n for n in range(-(N - 1), N) if (N + n) % 2 == 1)
+    bl0 = bls[0]
+    ls0 = np.floor(np.sqrt(np.arange(bl0 * bl0))).astype(int)
+    psi = []
+    dir_bases = []
+    for j, bl in enumerate(bls[1:]):
+        ls = np.floor(np.sqrt(np.arange(bl * bl))).astype(int)
+        psi.append(jnp.asarray(
+            np.stack([kappas[j][ls] * s[ls, n + N - 1] for n in ns]), dtype=dtype
+        ))
+        dir_bases.append(tuple(
+            sht.get_basis(bl, -n, dtype=dtype, use_disk_cache=use_disk_cache)
+            for n in ns
+        ))
+    gammas = 2 * np.pi * np.arange(2 * N - 1) / (2 * N - 1)
+    E = np.exp(1j * np.outer(gammas, np.asarray(ns)))
+    dwb = DirectionalWaveletBasis(
+        L=L, B=float(B), J_min=J_min, J_max=j_max(B, L), dirs=N,
+        bandlimits=bls, ns=ns,
+        eta_flm=jnp.asarray(eta[ls0], dtype=dtype),
+        scal_basis=sht.get_basis(bl0, 0, dtype=dtype, use_disk_cache=use_disk_cache),
+        psi=tuple(psi),
+        dir_bases=tuple(dir_bases),
+        Egamma=jnp.asarray(E, dtype=jnp.complex128 if dtype == jnp.float64 else jnp.complex64),
+        main=sht.get_basis(L, 0, dtype=dtype, use_disk_cache=use_disk_cache),
+    )
+    _DWB_CACHE[key] = dwb
+    return dwb
+
+
+def _dir_real(x) -> bool:
+    return not jnp.issubdtype(x.dtype, jnp.complexfloating)
+
+
+@jax.jit
+def analysis_dir(f: jax.Array, dwb: DirectionalWaveletBasis) -> jax.Array:
+    """Pixel map -> directional multires coefficients.
+
+    (..., L(2L-1)) -> (..., ncoefs), layout [scaling | scale j: gamma-major
+    (2N-1, bl, 2bl-1) flattened | ...].  Real input gives real coefficients.
+    """
+    real = _dir_real(f)
+    L = dwb.L
+    fmap = f.reshape(f.shape[:-1] + (L, 2 * L - 1))
+    flm = sht.forward_real(fmap, dwb.main) if real else sht.forward(fmap, dwb.main)
+    out = []
+    bl0 = dwb.bandlimits[0]
+    scal = sht.inverse(flm[..., : bl0 * bl0] * dwb.eta_flm, dwb.scal_basis)
+    out.append(scal.real if real else scal)
+    for psi, bases, bl in zip(dwb.psi, dwb.dir_bases, dwb.bandlimits[1:]):
+        wn = jnp.stack(
+            [sht.inverse(flm[..., : bl * bl] * psi[i], basis)
+             for i, basis in enumerate(bases)],
+            axis=-3,
+        )  # (..., N, bl, 2bl-1)
+        W = jnp.einsum("gn,...ntp->...gtp", dwb.Egamma, wn.astype(dwb.Egamma.dtype))
+        W = W.real if real else W
+        out.append(W)
+    return jnp.concatenate(
+        [o.reshape(o.shape[: f.ndim - 1] + (-1,)) for o in out], axis=-1
+    )
+
+
+def _split_dir(X: jax.Array, dwb: DirectionalWaveletBasis):
+    G = 2 * dwb.dirs - 1
+    blocks = []
+    start = 0
+    n0 = sampling.sample_length(dwb.bandlimits[0])
+    blocks.append(X[..., :n0])
+    start = n0
+    for bl in dwb.bandlimits[1:]:
+        n = G * sampling.sample_length(bl)
+        blocks.append(X[..., start : start + n])
+        start += n
+    return blocks
+
+
+@jax.jit
+def synthesis_dir(X: jax.Array, dwb: DirectionalWaveletBasis) -> jax.Array:
+    """Directional multires coefficients -> pixel map (exact inverse of
+    :func:`analysis_dir` by the admissibility identity eta^2 + sum_{j}
+    kappa_j^2 sum_n s_ln^2 = 1)."""
+    real = _dir_real(X)
+    L = dwb.L
+    G = 2 * dwb.dirs - 1
+    blocks = _split_dir(X, dwb)
+    bl0 = dwb.bandlimits[0]
+    smap = blocks[0].reshape(blocks[0].shape[:-1] + (bl0, 2 * bl0 - 1))
+    slm = sht.forward(smap, dwb.scal_basis) * dwb.eta_flm
+    flm = jnp.pad(slm, [(0, 0)] * (slm.ndim - 1) + [(0, L * L - bl0 * bl0)])
+    Einv = jnp.conj(dwb.Egamma).T / G  # exact: columns of Egamma orthogonal
+    for blk, psi, bases, bl in zip(
+        blocks[1:], dwb.psi, dwb.dir_bases, dwb.bandlimits[1:]
+    ):
+        W = blk.reshape(blk.shape[:-1] + (G, bl, 2 * bl - 1))
+        wn = jnp.einsum("ng,...gtp->...ntp", Einv, W.astype(Einv.dtype))
+        wlm = None
+        for i, basis in enumerate(bases):
+            g = sht.forward(wn[..., i, :, :], basis) * psi[i]
+            wlm = g if wlm is None else wlm + g
+        flm = flm + jnp.pad(
+            wlm, [(0, 0)] * (wlm.ndim - 1) + [(0, L * L - bl * bl)]
+        )
+    f = sht.inverse(flm, dwb.main)
+    f = f.real if real else f
+    return f.reshape(f.shape[:-2] + (-1,))
+
+
+@jax.jit
+def synthesis_dir_adjoint(f: jax.Array, dwb: DirectionalWaveletBasis) -> jax.Array:
+    """Adjoint of :func:`synthesis_dir`: pixel map -> coefficient space."""
+    real = _dir_real(f)
+    L = dwb.L
+    fmap = f.reshape(f.shape[:-1] + (L, 2 * L - 1))
+    glm = sht.inverse_adjoint(fmap.astype(dwb.Egamma.dtype), dwb.main)
+    out = []
+    bl0 = dwb.bandlimits[0]
+    scal = sht.forward_adjoint(glm[..., : bl0 * bl0] * dwb.eta_flm, dwb.scal_basis)
+    out.append(scal.real if real else scal)
+    G = 2 * dwb.dirs - 1
+    EinvH = dwb.Egamma / G  # adjoint of Einv
+    for psi, bases, bl in zip(dwb.psi, dwb.dir_bases, dwb.bandlimits[1:]):
+        wn = jnp.stack(
+            [sht.forward_adjoint(glm[..., : bl * bl] * psi[i], basis)
+             for i, basis in enumerate(bases)],
+            axis=-3,
+        )  # (..., N, bl, 2bl-1)
+        W = jnp.einsum("gn,...ntp->...gtp", EinvH, wn.astype(EinvH.dtype))
+        W = W.real if real else W
+        out.append(W)
+    return jnp.concatenate(
+        [o.reshape(o.shape[: f.ndim - 1] + (-1,)) for o in out], axis=-1
+    )
+
+
+@jax.jit
+def analysis_dir_adjoint(X: jax.Array, dwb: DirectionalWaveletBasis) -> jax.Array:
+    """Adjoint of :func:`analysis_dir`: coefficient space -> pixel map."""
+    real = _dir_real(X)
+    L = dwb.L
+    G = 2 * dwb.dirs - 1
+    blocks = _split_dir(X, dwb)
+    bl0 = dwb.bandlimits[0]
+    smap = blocks[0].reshape(blocks[0].shape[:-1] + (bl0, 2 * bl0 - 1))
+    slm = sht.inverse_adjoint(smap.astype(dwb.Egamma.dtype), dwb.scal_basis) * dwb.eta_flm
+    flm = jnp.pad(slm, [(0, 0)] * (slm.ndim - 1) + [(0, L * L - bl0 * bl0)])
+    EH = jnp.conj(dwb.Egamma).T  # adjoint of the analysis gamma-assembly
+    for blk, psi, bases, bl in zip(
+        blocks[1:], dwb.psi, dwb.dir_bases, dwb.bandlimits[1:]
+    ):
+        W = blk.reshape(blk.shape[:-1] + (G, bl, 2 * bl - 1))
+        wn = jnp.einsum("ng,...gtp->...ntp", EH, W.astype(EH.dtype))
+        wlm = None
+        for i, basis in enumerate(bases):
+            g = sht.inverse_adjoint(wn[..., i, :, :], basis) * psi[i]
+            wlm = g if wlm is None else wlm + g
+        flm = flm + jnp.pad(
+            wlm, [(0, 0)] * (wlm.ndim - 1) + [(0, L * L - bl * bl)]
+        )
+    f = sht.forward_adjoint(flm, dwb.main)
+    f = f.real if real else f
+    return f.reshape(f.shape[:-2] + (-1,))
 
 
 # ---------------------------------------------------------------------------

@@ -79,9 +79,16 @@ class S2_Wavelets_L1(L1):
         # prior.py:79-80, which makes its own analysis-mode experiment CLIs
         # crash; implemented here.)
         bls = wavelets.multires_bandlimits(L, B, J_min, dirs, spin)
+        # dirs > 1: wavelet-scale coefficients live on an SO(3) grid with
+        # 2*dirs - 1 direction samples; the MW theta quadrature weight
+        # repeats across directions (uniform gamma sampling).
+        G = 2 * dirs - 1
+        parts = [mw_map_weights(int(bls[0]))]
+        for bl in bls[1:]:
+            w = mw_map_weights(int(bl))
+            parts.append(np.tile(w, G) if dirs > 1 else w)
         self.map_weights = jnp.asarray(
-            np.concatenate([mw_map_weights(int(bl)) for bl in bls]),
-            dtype=real_dtype(),
+            np.concatenate(parts), dtype=real_dtype()
         )
         self.T = self.T * self.map_weights
 
@@ -143,6 +150,7 @@ class S2_Wavelets_L1_Power_Weights(S2_Wavelets_L1):
             psi_l[j] = np.array([psi_lm[el ** 2 + el, j].real for el in range(self.L)])
         peak_ls = np.argmax(psi_l, axis=1)
         all_weights = []
+        G = 2 * self.dirs - 1
         for effective_L, power, peak_l in zip(bls[1:], wavelet_powers, peak_ls):
             effective_L = int(effective_L)
             nsamples = sample_length(effective_L)
@@ -151,5 +159,6 @@ class S2_Wavelets_L1_Power_Weights(S2_Wavelets_L1):
                 (2 * np.pi ** 2) * (float(peak_l) ** self.eta) / (power * nsamples),
             )
             thetas, _ = sample_positions(effective_L)
-            all_weights.append((weights.T * np.sin(thetas)).T)
+            w = (weights.T * np.sin(thetas)).T
+            all_weights.append(np.tile(w.flatten(), G) if self.dirs > 1 else w)
         return all_weights

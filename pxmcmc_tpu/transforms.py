@@ -56,7 +56,9 @@ class SphericalWaveletTransform(Transform):
     :param int L: angular bandlimit
     :param float B: wavelet scale parameter
     :param int J_min: minimum wavelet scale
-    :param int dirs: azimuthal bandlimit (only 1 = axisymmetric supported)
+    :param int dirs: azimuthal bandlimit; dirs > 1 uses directional wavelets
+        (pixel mode, spin 0): per scale the coefficients live on an SO(3) MW
+        grid (2*dirs-1 directions), see ``ops.wavelets.analysis_dir``
     :param int spin: spin number of the signal
     :param bool harmonic: inputs/outputs in spherical harmonic space, like
         the reference's pys2let ``analysis_lm2lmn``/``synthesis_lmn2lm``
@@ -73,35 +75,52 @@ class SphericalWaveletTransform(Transform):
         self.dirs = dirs
         self.spin = spin
         self.harmonic = harmonic
-        self.basis = wavelets.get_wavelet_basis(L, B, J_min, spin=spin, dtype=dtype)
-        if harmonic:
-            self.nscal = int(self.basis.bandlimits[0]) ** 2
-            self.nwav = sum(int(b) ** 2 for b in self.basis.bandlimits[1:])
-        else:
+        if dirs > 1:
+            if harmonic or spin != 0:
+                raise NotImplementedError(
+                    "directional wavelets: pixel mode, spin 0 only"
+                )
+            self.basis = wavelets.get_directional_basis(L, B, J_min, dirs, dtype=dtype)
             self.nscal = self.basis.nscal
             self.nwav = self.basis.nwav
+        else:
+            self.basis = wavelets.get_wavelet_basis(L, B, J_min, spin=spin, dtype=dtype)
+            if harmonic:
+                self.nscal = int(self.basis.bandlimits[0]) ** 2
+                self.nwav = sum(int(b) ** 2 for b in self.basis.bandlimits[1:])
+            else:
+                self.nscal = self.basis.nscal
+                self.nwav = self.basis.nwav
         self.ncoefs = self.nscal + self.nwav
 
     def forward(self, X):
         """Image (or flm) -> wavelet coefficients (analysis)."""
+        if self.dirs > 1:
+            return wavelets.analysis_dir(jnp.asarray(X), self.basis)
         if self.harmonic:
             return wavelets.analysis_lm(jnp.asarray(X), self.basis)
         return wavelets.analysis(jnp.asarray(X), self.basis)
 
     def inverse(self, X):
         """Wavelet coefficients -> image (or flm) (synthesis)."""
+        if self.dirs > 1:
+            return wavelets.synthesis_dir(jnp.asarray(X), self.basis)
         if self.harmonic:
             return wavelets.synthesis_lm(jnp.asarray(X), self.basis)
         return wavelets.synthesis(jnp.asarray(X), self.basis)
 
     def forward_adjoint(self, X):
         """Adjoint analysis: coefficients -> image (or flm)."""
+        if self.dirs > 1:
+            return wavelets.analysis_dir_adjoint(jnp.asarray(X), self.basis)
         if self.harmonic:
             return wavelets.synthesis_lm(jnp.asarray(X), self.basis)
         return wavelets.analysis_adjoint(jnp.asarray(X), self.basis)
 
     def inverse_adjoint(self, X):
         """Adjoint synthesis: image (or flm) -> coefficients."""
+        if self.dirs > 1:
+            return wavelets.synthesis_dir_adjoint(jnp.asarray(X), self.basis)
         if self.harmonic:
             return wavelets.analysis_lm(jnp.asarray(X), self.basis)
         return wavelets.synthesis_adjoint(jnp.asarray(X), self.basis)

@@ -79,3 +79,42 @@ def test_soft_complex():
 def test_soft_real():
     assert np.allclose(np.asarray(soft(jnp.asarray([1.0, 2, 3]), 2)), [0, 0, 1])
     assert np.allclose(np.asarray(soft(jnp.asarray([-1.0, -2, -3]), 2)), [0, 0, -1])
+
+
+def test_S2_prior_weights_directional_size():
+    """dirs > 1: per-scale quadrature weights tile across the 2*dirs-1
+    direction samples so map_weights matches the directional ncoefs."""
+    from pxmcmc_tpu.transforms import SphericalWaveletTransform
+
+    L, B, J_min, dirs = 12, 2, 1, 2
+    t = SphericalWaveletTransform(L, B, J_min, dirs=dirs)
+    for cls in (S2_Wavelets_L1, S2_Wavelets_L1_Power_Weights):
+        reg = cls("synthesis", t.inverse, t.inverse_adjoint, 1e-3, L, B, J_min,
+                  dirs=dirs)
+        assert reg.map_weights.shape == (t.ncoefs,)
+        out = np.asarray(reg.proxf(jnp.ones(t.ncoefs)))
+        assert out.shape == (t.ncoefs,)
+        assert np.isfinite(out).all()
+
+
+def test_directional_myula_end_to_end(rng):
+    """dirs=2 denoiser: full sampler runs and reduces the posterior."""
+    from pxmcmc_tpu.forward import SphericalWaveletTransformOperator
+    from pxmcmc_tpu.mcmc import MYULA, PxMCMCParams
+    from tests.test_wavelets import make_bandlimited_map
+
+    L, B, J_min, dirs = 12, 2, 1, 2
+    data = make_bandlimited_map(L, rng)
+    fwd = SphericalWaveletTransformOperator(data, 0.1, "synthesis", L, B, J_min,
+                                            dirs=dirs)
+    params = PxMCMCParams(nsamples=10, nburn=5, ngap=2, verbosity=0,
+                          delta=1e-5, lmda=1e-5, nchains=2)
+    prior = S2_Wavelets_L1("synthesis", fwd.transform.inverse,
+                           fwd.transform.inverse_adjoint,
+                           params.lmda * params.mu, L=L, B=B, J_min=J_min,
+                           dirs=dirs)
+    m = MYULA(fwd, prior, params)
+    assert not m._gram_ok()  # directional transform: general path
+    m.run()
+    assert np.isfinite(m.logPi).all()
+    assert m.chain.shape == (10, 2, fwd.nparams)

@@ -16,6 +16,17 @@ def wvlttransform(L, B, J_min):
     return SphericalWaveletTransform(L, B, J_min)
 
 
+def make_bandlimited_map(L, rng):
+    from tests.conftest import make_real_flm
+
+    from pxmcmc_tpu.ops import sht
+
+    basis = sht.get_basis(L, 0, use_disk_cache=False)
+    return np.asarray(
+        sht.inverse_real(jnp.asarray(make_real_flm(L, rng)), basis)
+    ).flatten()
+
+
 def test_admissibility(L, B, J_min):
     """eta^2 + sum_j kappa_j^2 == 1 for every l < L — exact reconstruction."""
     eta, kappas = wavelets.tiling(B, L, J_min)
@@ -130,3 +141,91 @@ class TestHarmonicMode:
 
         bls = multires_bandlimits(L, B, J_min)
         assert t.ncoefs == sum(int(b) ** 2 for b in bls)
+
+
+class TestDirectional:
+    """Directional wavelets (dirs = N > 1) — the reference exposes N through
+    pys2let (`/root/reference/pxmcmc/transforms.py:84`, `forward.py:98`).
+    Exactness anchors: admissibility (round-trip identity), adjoint
+    dot-tests, reality for real signals, dirs=1 reduction."""
+
+    def test_tiling_direction_normalised(self):
+        from pxmcmc_tpu.ops.wavelets import tiling_direction
+
+        for N in (1, 2, 3, 4):
+            s = tiling_direction(32, N)
+            norms = (s ** 2).sum(axis=1)
+            lo = 1 if N % 2 == 0 else 0  # even N: no support at l = 0
+            np.testing.assert_allclose(norms[lo:], 1.0, atol=1e-13)
+            # parity: only (N + n) odd entries populated
+            for n in range(-(N - 1), N):
+                if (N + n) % 2 == 0:
+                    assert np.all(s[:, n + N - 1] == 0.0)
+
+    @pytest.mark.parametrize("dirs", [2, 3])
+    def test_roundtrip_real(self, dirs, rng):
+        from pxmcmc_tpu.ops import wavelets as wv
+
+        L, B, J_min = 16, 2, 1  # J_min=1 so wavelets cover l=1 where needed
+        dwb = wv.get_directional_basis(L, B, J_min, dirs, use_disk_cache=False)
+        f = make_bandlimited_map(L, rng)
+        X = np.asarray(wv.analysis_dir(jnp.asarray(f), dwb))
+        assert X.shape == (dwb.ncoefs,)
+        assert not np.iscomplexobj(X)  # real signal -> real coefficients
+        rec = np.asarray(wv.synthesis_dir(jnp.asarray(X), dwb))
+        np.testing.assert_allclose(rec, f, atol=1e-10)
+
+    def test_roundtrip_complex(self, rng):
+        from pxmcmc_tpu.ops import wavelets as wv
+
+        L, B, J_min, dirs = 12, 2, 1, 2
+        dwb = wv.get_directional_basis(L, B, J_min, dirs, use_disk_cache=False)
+        f = make_bandlimited_map(L, rng) + 1j * make_bandlimited_map(L, rng)
+        X = wv.analysis_dir(jnp.asarray(f), dwb)
+        rec = np.asarray(wv.synthesis_dir(X, dwb))
+        np.testing.assert_allclose(rec, f, atol=1e-10)
+
+    @pytest.mark.parametrize("dirs", [2, 3])
+    def test_adjoint_dot_tests(self, dirs, rng):
+        from pxmcmc_tpu.ops import wavelets as wv
+
+        L, B, J_min = 12, 2, 1
+        dwb = wv.get_directional_basis(L, B, J_min, dirs, use_disk_cache=False)
+        npix = dwb.npix
+        f = rng.standard_normal(npix) + 1j * rng.standard_normal(npix)
+        Y = rng.standard_normal(dwb.ncoefs) + 1j * rng.standard_normal(dwb.ncoefs)
+        # <Y, analysis f> == <analysis_adjoint Y, f>
+        lhs = np.vdot(Y, np.asarray(wv.analysis_dir(jnp.asarray(f), dwb)))
+        rhs = np.vdot(np.asarray(wv.analysis_dir_adjoint(jnp.asarray(Y), dwb)), f)
+        np.testing.assert_allclose(lhs, rhs, rtol=1e-10)
+        # <f, synthesis Y> == <synthesis_adjoint f, Y>
+        lhs = np.vdot(f, np.asarray(wv.synthesis_dir(jnp.asarray(Y), dwb)))
+        rhs = np.vdot(np.asarray(wv.synthesis_dir_adjoint(jnp.asarray(f), dwb)), Y)
+        np.testing.assert_allclose(lhs, rhs, rtol=1e-10)
+
+    def test_transform_class_dispatch(self, rng):
+        from pxmcmc_tpu.transforms import SphericalWaveletTransform
+
+        L, B, J_min, dirs = 12, 2, 1, 2
+        t = SphericalWaveletTransform(L, B, J_min, dirs=dirs)
+        f = make_bandlimited_map(L, rng)
+        X = t.forward(f)
+        assert X.shape == (t.ncoefs,)
+        rec = np.asarray(t.inverse(X))
+        np.testing.assert_allclose(rec, f, atol=1e-10)
+        # batched (chains-leading) inputs flow through unchanged
+        fb = np.stack([f, 2 * f])
+        Xb = np.asarray(t.forward(fb))
+        np.testing.assert_allclose(Xb[1], 2 * np.asarray(X), atol=1e-10)
+
+    def test_wavelet_tiling_dirs(self):
+        """wavelet_tiling populates |m| < dirs entries and keeps the
+        admissibility column sums (pys2let-convention output surface)."""
+        from pxmcmc_tpu.ops.wavelets import wavelet_tiling
+
+        L = 16
+        phi, psi = wavelet_tiling(2.0, L, dirs=3, J_min=1)
+        assert psi.shape[0] == L * L
+        # some off-m=0 content exists for dirs > 1
+        off = [psi[el * el + el + n] for el in range(2, L) for n in (-2, 2)]
+        assert np.abs(np.asarray(off)).max() > 0
