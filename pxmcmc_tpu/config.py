@@ -26,6 +26,16 @@ def cache_dir() -> str:
     return d
 
 
+# Optional PRNG implementation override (PXMCMC_PRNG=rbg|unsafe_rbg|threefry2x32).
+# MYULA burns one (nchains x nparams) normal draw per iteration; threefry
+# (the JAX default, kept as ours) is counter-based VPU arithmetic, while
+# 'rbg' uses the TPU's hardware RngBitGenerator — same distribution,
+# different (still deterministic) stream.  Opt-in because sample streams
+# change; see BENCH.md for the measured effect.
+_prng = os.environ.get("PXMCMC_PRNG")
+if _prng:
+    jax.config.update("jax_default_prng_impl", _prng)
+
 # Persistent XLA compilation cache: first compile of the L=256 sampler step
 # is ~10 min on a v5e (round-1 VERDICT weak #2); cached reloads are seconds.
 # Keyed by program + compiler version, so it is always safe to keep on.

@@ -55,6 +55,47 @@ def mollweide_projection(f, L, resolution=500):
     return img, ~valid
 
 
+def _mollweide_forward(lat_deg, lon_deg):
+    """Forward Mollweide projection (lat, lon) degrees -> (x, y).
+
+    Newton iteration on 2t + sin 2t = pi sin(lat); inverse of the map in
+    :func:`mollweide_projection`.
+    """
+    lat = np.radians(np.asarray(lat_deg, dtype=float))
+    lon = np.radians(np.asarray(lon_deg, dtype=float))
+    t = lat.copy()
+    for _ in range(8):
+        f = 2 * t + np.sin(2 * t) - np.pi * np.sin(lat)
+        t = t - f / np.maximum(2 + 2 * np.cos(2 * t), 1e-9)
+    x = 2 * np.sqrt(2) / np.pi * lon * np.cos(t)
+    y = np.sqrt(2) * np.sin(t)
+    return x, y
+
+
+def _coastline_pixels(resolution=500):
+    """Bundled coastline polyline in the image pixel coordinates of
+    :func:`mollweide_projection` (NaN rows break segments).
+
+    The polyline is the elevation-0 contour of the bandlimited ETOPO1
+    topography (see ``scripts/make_coastlines.py``) — a cartopy-free
+    replacement for the reference's coastlines overlay
+    (`/root/reference/pxmcmc/plotting.py:79-83`).
+    """
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "data", "coastlines.npz")
+    with np.load(path) as z:
+        lonlat = z["lonlat"]
+    x, y = _mollweide_forward(lonlat[:, 1], lonlat[:, 0])
+    ny, nx = resolution, 2 * resolution
+    px = (x + 2 * np.sqrt(2)) / (4 * np.sqrt(2)) * (nx - 1)
+    py = (y + np.sqrt(2)) / (2 * np.sqrt(2)) * (ny - 1)
+    # break segments that wrap around the +-180 degree seam
+    jump = np.abs(np.diff(px, prepend=px[:1])) > nx / 4
+    px[jump] = np.nan
+    return px, py
+
+
 def _oversample(f, L=256):
     """Zero-pad the spectrum to bandlimit L (ref ``plotting.py:189-193``)."""
     f = np.asarray(f)
@@ -115,14 +156,10 @@ def plot_map(
     ax.axis("off")
     ax.set_title(title, fontsize=24)
     if coasts:
-        try:  # pragma: no cover
-            from cartopy.crs import Mollweide
-
-            coast_ax = fig.add_subplot(1, 1, 1, projection=Mollweide())
-            coast_ax.coastlines(linewidth=2)
-            coast_ax.patch.set_alpha(0)
-        except ModuleNotFoundError:
-            print("cartopy not found.  Cannot plot coasts.")
+        # bundled ETOPO1 zero-contour coastline in the same projection —
+        # no cartopy dependency (ref plotting.py:79-83 uses cartopy)
+        px, py = _coastline_pixels()
+        ax.plot(px, py, color="k", linewidth=1.2)
     return fig
 
 

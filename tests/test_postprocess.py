@@ -291,3 +291,20 @@ def test_summary_checkpoint_resume(simpledata, tmp_path):
     assert np.allclose(resumed.posterior_mean, full.posterior_mean, atol=1e-12)
     assert np.allclose(resumed.posterior_var, full.posterior_var, rtol=1e-10)
     assert np.allclose(resumed.ci_range, full.ci_range, atol=1e-12)
+
+
+def test_plot_map_coasts_overlay():
+    """coasts=True overlays the bundled ETOPO1 zero-contour coastline
+    (cartopy-free replacement for ref plotting.py:79-83)."""
+    rng = np.random.default_rng(2)
+    f = rng.standard_normal((32, 63))
+    fig = plotting.plot_map(f, title="c", oversample=False, coasts=True)
+    assert fig is not None
+    import matplotlib.pyplot as plt
+
+    plt.close(fig)
+    px, py = plotting._coastline_pixels()
+    finite = np.isfinite(px) & np.isfinite(py)
+    assert finite.sum() > 1000
+    assert px[finite].min() >= 0 and px[finite].max() <= 999
+    assert py[finite].min() >= 0 and py[finite].max() <= 499
