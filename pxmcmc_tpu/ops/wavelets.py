@@ -416,10 +416,49 @@ def gram_gradient_real(X: jax.Array, wb: WaveletBasis, gram: jax.Array) -> jax.A
     Exactly equals ``synthesis_adjoint(synthesis(X))`` for real X; scale the
     result by the (scalar) inverse noise variance and subtract the
     precomputed ``S^T invcov y`` to get the fidelity gradient.
+
+    The whole chain stays in the (m >= 0, l) half-spectrum *grid* layout:
+    the flat-lm representation of :func:`synthesis_lm_real` /
+    ``sht.gram_apply_real`` round-trips through ``_from_ml_pos`` /
+    ``_to_ml_pos`` index gathers at every stage, and gathers are scalar-unit
+    work on TPU.  Grid form replaces them with contiguous pads/slices: the
+    per-scale truncation ``flm[..., :bl^2]`` equals the grid slice
+    ``[..., :bl, :bl]`` (flat index l^2+l+m covers exactly l < bl), and
+    ``_from_ml_pos`` followed by ``_to_ml_pos`` is the identity on the
+    grid — so this is the same linear operator (tested equal to the flat
+    chain and to the pixel-space chain).
     """
-    flm = synthesis_lm_real(X, wb)
-    glm = sht.gram_apply_real(flm, gram, wb.main)
-    return adjoint_scales_real(glm, wb)
+    L = wb.L
+    N = 2 * L - 1
+    Ggrid = None
+    for blk, kap_g, basis, bl in zip(
+        _split_scales(X, wb), _kappa_grids(wb), wb.bases, wb.bandlimits
+    ):
+        wmap = blk.reshape(blk.shape[:-1] + (bl, 2 * bl - 1))
+        Nj = 2 * bl - 1
+        Fm = sht._phi_analysis_real(wmap, basis, 1.0 / Nj)  # (..., bl(m), bl(t))
+        G = sht._real_mat_complex_vec("mlt,...mt->...ml", basis.q[bl - 1 :], Fm)
+        G = G * kap_g
+        pad = [(0, 0)] * (G.ndim - 2) + [(0, L - bl), (0, L - bl)]
+        Gfull = jnp.pad(G, pad)
+        Ggrid = Gfull if Ggrid is None else Ggrid + Gfull
+    H = sht._real_mat_complex_vec("mlk,...mk->...ml", gram, Ggrid)
+    out = []
+    for kap_g, basis, bl in zip(_kappa_grids(wb), wb.bases, wb.bandlimits):
+        Hj = H[..., :bl, :bl] * kap_g
+        Ft = sht._real_mat_complex_vec("mlt,...ml->...mt", basis.q[bl - 1 :], Hj)
+        Nj = 2 * bl - 1
+        wmap = sht._phi_synth_real(Ft, basis) / Nj
+        out.append(wmap.reshape(wmap.shape[:-2] + (-1,)))
+    return jnp.concatenate(out, axis=-1)
+
+
+def _kappa_grids(wb: WaveletBasis):
+    """Per-scale kappa as (bl(l),) vectors broadcastable over the (m, l)
+    grid (kappa depends on l only; flat entry l^2 is (l, m=-l))."""
+    return tuple(
+        kap[np.arange(bl) ** 2] for kap, bl in zip(wb.kappa_flm, wb.bandlimits)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -229,3 +229,27 @@ class TestDirectional:
         # some off-m=0 content exists for dirs > 1
         off = [psi[el * el + el + n] for el in range(2, L) for n in (-2, 2)]
         assert np.abs(np.asarray(off)).max() > 0
+
+
+def test_gram_gradient_grid_equals_pixel_chain(rng):
+    """The gather-free grid-form Gram gradient equals both the flat-lm chain
+    it replaced and the full pixel-space S^T S X — same linear operator."""
+    import jax.numpy as jnp
+
+    from pxmcmc_tpu.ops import sht as shtm
+
+    L, B, J_min = 16, 2, 2
+    wb = wavelets.get_wavelet_basis(L, B, J_min, use_disk_cache=False)
+    gram = shtm.get_gram(L, 0, use_disk_cache=False)
+    X = rng.standard_normal((3, wb.ncoefs))  # batched over chains
+    got = np.asarray(wavelets.gram_gradient_real(jnp.asarray(X), wb, gram))
+    # flat-lm chain
+    flm = wavelets.synthesis_lm_real(jnp.asarray(X), wb)
+    glm = shtm.gram_apply_real(flm, gram, wb.main)
+    flat = np.asarray(wavelets.adjoint_scales_real(glm, wb))
+    np.testing.assert_allclose(got, flat, atol=1e-11)
+    # pixel-space chain
+    pix = np.asarray(
+        wavelets.synthesis_adjoint(wavelets.synthesis(jnp.asarray(X), wb), wb)
+    )
+    np.testing.assert_allclose(got, pix, atol=1e-10)
