@@ -37,7 +37,13 @@ class L1:
         self.setting = setting
         self.fwd = fwd
         self.adj = adj
-        self.T = jnp.asarray(T, dtype=real_dtype()) if not np.isscalar(T) else T
+        # dtype conversion happens host-side: an eager on-device
+        # convert_element_type is not implemented on some remote TPU
+        # backends (axon), and setup-time transfers should be one-shot.
+        self.T = (
+            jnp.asarray(np.asarray(T).astype(np.dtype(real_dtype())))
+            if not np.isscalar(T) else T
+        )
 
     def prior(self, X):
         """log-prior = sum |X| (ref ``prior.py:28-35``); batched over leading dims."""
@@ -88,7 +94,7 @@ class S2_Wavelets_L1(L1):
             w = mw_map_weights(int(bl))
             parts.append(np.tile(w, G) if dirs > 1 else w)
         self.map_weights = jnp.asarray(
-            np.concatenate(parts), dtype=real_dtype()
+            np.concatenate(parts).astype(np.dtype(real_dtype()))
         )
         self.T = self.T * self.map_weights
 
@@ -126,7 +132,9 @@ class S2_Wavelets_L1_Power_Weights(S2_Wavelets_L1):
     def _get_weights(self):
         s = self._calculate_scaling_weights().flatten()
         w = np.concatenate([wi.flatten() for wi in self._calculate_wavelet_weights()])
-        self.map_weights = jnp.asarray(np.concatenate([s, w]), dtype=real_dtype())
+        self.map_weights = jnp.asarray(
+            np.concatenate([s, w]).astype(np.dtype(real_dtype()))
+        )
 
     def _calculate_scaling_weights(self):
         """2 pi^2 sin(theta) / (power * nsamples) on the scaling grid (ref :120-128)."""
