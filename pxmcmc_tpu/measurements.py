@@ -159,7 +159,12 @@ class WeakLensing(WeakLensingHarmonic):
             if mask.shape != self.map_shape:
                 raise ValueError("Shape of mask map is incorrect!")
             self.mask = mask
-        self.mask_idx = jnp.asarray(np.nonzero(self.mask.flatten())[0])
+        # host copy kept alongside the device index: ngal_to_inv_cov and other
+        # host-side setup must never read the device array back — on relayed
+        # TPU backends a setup-time device->host transfer of this size can
+        # wedge the connection for every subsequent transfer.
+        self._mask_idx_np = np.nonzero(self.mask.flatten())[0]
+        self.mask_idx = jnp.asarray(self._mask_idx_np)
         self.ndata = int(self.mask.sum())
         self.npix = npix
 
@@ -186,7 +191,7 @@ class WeakLensing(WeakLensingHarmonic):
 
     def ngal_to_inv_cov(self, ngal):
         """sqrt(2 ngal / var_e) per unmasked pixel (ref ``measurements.py:282-293``)."""
-        ngal_m = ngal.flatten()[np.asarray(self.mask_idx)]
+        ngal_m = ngal.flatten()[self._mask_idx_np]
         return np.sqrt(2.0 * ngal_m / self.var_e)
 
     def cov_weight(self, x):
