@@ -500,6 +500,82 @@ def forward_adjoint_real(flm: jax.Array, basis: SHTBasis) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
+# Stacked-real phi transforms.  Complex values are carried as a re/im axis at
+# position -3 (..., 2, m|t, t|p) so every op below is a *real* matmul on the
+# MXU — no complex arrays anywhere (TPU backends mishandle or pessimise
+# complex elementwise/scatter ops; measured in BENCH.md round 2).
+# ---------------------------------------------------------------------------
+
+def phi_analysis_r2(f: jax.Array, basis: SHTBasis, scale: float) -> jax.Array:
+    """Real map (..., t, p) -> stacked half spectrum (..., 2, m, t)."""
+    if PHI_MODE == "fft":
+        A = jnp.fft.rfft(f, axis=-1) * scale  # (..., t, m)
+        A = jnp.swapaxes(A, -1, -2)
+        return jnp.stack([A.real, A.imag], axis=-3)
+    re = _mm(basis.cos_pm, f, "pm,...tp->...mt") * scale
+    im = -_mm(basis.sin_pm, f, "pm,...tp->...mt") * scale
+    return jnp.stack([re, im], axis=-3)
+
+
+def phi_synth_r2(T2: jax.Array, basis: SHTBasis) -> jax.Array:
+    """Stacked half spectrum (..., 2, m, t) -> real map (..., t, p).
+
+    f[t,p] = Re( T[0,t] + 2 sum_{m>0} T[m,t] e^{i m phi_p} ).
+    """
+    L = basis.L
+    N = 2 * L - 1
+    if PHI_MODE == "fft":
+        T = jax.lax.complex(T2[..., 0, :, :], T2[..., 1, :, :])
+        f = N * jnp.fft.irfft(T, n=N, axis=-2)  # (..., p, t)
+        return jnp.swapaxes(f, -1, -2)
+    c = jnp.ones((L,), dtype=jnp.float32).at[1:].set(2.0)
+    Tr = T2[..., 0, :, :] * c[:, None]
+    Ti = T2[..., 1, :, :] * c[:, None]
+    return _mm(basis.cos_pm, Tr, "pm,...mt->...tp") - _mm(
+        basis.sin_pm, Ti, "pm,...mt->...tp"
+    )
+
+
+def phi_synth_full2(T2: jax.Array, basis: SHTBasis) -> jax.Array:
+    """Stacked full spectrum (..., 2, 2L-1(m), t) -> stacked map (..., 2, t, p).
+
+    Stacked-real equivalent of :func:`_phi_synth_cplx` (scale 1).
+    """
+    L = basis.L
+    Tr, Ti = T2[..., 0, :, :], T2[..., 1, :, :]
+    if PHI_MODE == "fft":
+        T = jax.lax.complex(Tr, Ti)
+        A = jnp.roll(T, -(L - 1), axis=-2)
+        f = (2 * L - 1) * jnp.fft.ifft(A, axis=-2)  # (..., p, t)
+        f = jnp.swapaxes(f, -1, -2)
+        return jnp.stack([f.real, f.imag], axis=-3)
+    C, S = _phi_mats_full(basis)
+    re = _mm(C, Tr, "pm,...mt->...tp") - _mm(S, Ti, "pm,...mt->...tp")
+    im = _mm(C, Ti, "pm,...mt->...tp") + _mm(S, Tr, "pm,...mt->...tp")
+    return jnp.stack([re, im], axis=-3)
+
+
+def phi_analysis_full2(f2: jax.Array, basis: SHTBasis, scale: float) -> jax.Array:
+    """Stacked map (..., 2, t, p) -> stacked full spectrum (..., 2, m, t).
+
+    Stacked-real equivalent of :func:`_phi_analysis_cplx`; with ``scale=1``
+    it is the exact real-linear transpose of :func:`phi_synth_full2`.
+    """
+    L = basis.L
+    fr, fi = f2[..., 0, :, :], f2[..., 1, :, :]
+    if PHI_MODE == "fft":
+        f = jax.lax.complex(fr, fi)
+        Fk = jnp.fft.fft(f, axis=-1) * scale
+        Fm = jnp.roll(Fk, L - 1, axis=-1)
+        Fm = jnp.swapaxes(Fm, -1, -2)
+        return jnp.stack([Fm.real, Fm.imag], axis=-3)
+    C, S = _phi_mats_full(basis)
+    re = (_mm(C, fr, "pm,...tp->...mt") + _mm(S, fi, "pm,...tp->...mt")) * scale
+    im = (_mm(C, fi, "pm,...tp->...mt") - _mm(S, fr, "pm,...tp->...mt")) * scale
+    return jnp.stack([re, im], axis=-3)
+
+
+# ---------------------------------------------------------------------------
 # Normal-operator (Gram) tables: inverse_adjoint(inverse(.)) per m
 # ---------------------------------------------------------------------------
 

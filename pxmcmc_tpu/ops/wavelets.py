@@ -439,41 +439,29 @@ def gram_gradient_real(X: jax.Array, wb: WaveletBasis, gram: jax.Array) -> jax.A
     running sum up to the next scale) instead of padding every scale to
     (L, L) — sum(bl_j^2) traffic instead of nscales * L^2.
     """
-    kap_gs = _kappa_grids(wb)
-    bls = wb.bandlimits
+    Ggrid = synthesis_grid2(X, wb)
+    H = sht._mm(gram, Ggrid, "mlk,...mk->...ml")  # (..., 2, m, l)
+    return adjoint_scales_grid2(H, wb)
 
-    def phi_analysis2(wmap, basis, scale):
-        # stacked-real variant of sht._phi_analysis_real: (..., t, p) real
-        # -> (2, ..., m, t) with [re, im]
-        if sht.PHI_MODE == "fft":
-            A = jnp.fft.rfft(wmap, axis=-1) * scale
-            A = jnp.swapaxes(A, -1, -2)
-            return jnp.stack([A.real, A.imag])
-        re = sht._mm(basis.cos_pm, wmap, "pm,...tp->...mt") * scale
-        im = -sht._mm(basis.sin_pm, wmap, "pm,...tp->...mt") * scale
-        return jnp.stack([re, im])
 
-    def phi_synth2(T2, basis):
-        # stacked-real variant of sht._phi_synth_real on the half spectrum
-        L_ = basis.L
-        if sht.PHI_MODE == "fft":
-            T = jax.lax.complex(T2[0], T2[1])
-            f = (2 * L_ - 1) * jnp.fft.irfft(T, n=2 * L_ - 1, axis=-2)
-            return jnp.swapaxes(f, -1, -2)
-        c = jnp.ones((L_,), dtype=jnp.float32).at[1:].set(2.0)
-        Tr = T2[0] * c[..., :, None]
-        Ti = T2[1] * c[..., :, None]
-        return sht._mm(basis.cos_pm, Tr, "pm,...mt->...tp") - sht._mm(
-            basis.sin_pm, Ti, "pm,...mt->...tp"
-        )
+def synthesis_grid2(X: jax.Array, wb: WaveletBasis) -> jax.Array:
+    """Coefficient pyramid (real) -> stacked-real half-spectrum grid.
 
-    # ascending-bandlimit accumulation of the summed half-spectrum grid
+    (..., ncoefs) -> (..., 2, L(m>=0), L(l)): the summed harmonic
+    coefficients of :func:`synthesis` in the (m >= 0, l) grid layout with a
+    re/im axis at -3 — the gather-free, complex-free representation the hot
+    paths run in (ascending-bandlimit accumulation; see
+    :func:`gram_gradient_real` docstring for why).  Values equal
+    ``sht._to_ml_pos(synthesis_lm_real(X, wb))`` exactly.
+    """
     Ggrid = None
     prev_bl = 0
-    for blk, kap_g, basis, bl in zip(_split_scales(X, wb), kap_gs, wb.bases, bls):
+    for blk, kap_g, basis, bl in zip(
+        _split_scales(X, wb), _kappa_grids(wb), wb.bases, wb.bandlimits
+    ):
         wmap = blk.reshape(blk.shape[:-1] + (bl, 2 * bl - 1))
-        Fm2 = phi_analysis2(wmap, basis, 1.0 / (2 * bl - 1))  # (2, ..., m, t)
-        G = sht._mm(basis.q[bl - 1 :], Fm2, "mlt,x...mt->x...ml") * kap_g
+        Fm2 = sht.phi_analysis_r2(wmap, basis, 1.0 / (2 * bl - 1))  # (..., 2, m, t)
+        G = sht._mm(basis.q[bl - 1 :], Fm2, "mlt,...mt->...ml") * kap_g
         if Ggrid is None:
             Ggrid = G
         else:
@@ -482,12 +470,21 @@ def gram_gradient_real(X: jax.Array, wb: WaveletBasis, gram: jax.Array) -> jax.A
                 Ggrid = jnp.pad(Ggrid, pad)
             Ggrid = Ggrid + G
         prev_bl = bl
-    H = sht._mm(gram, Ggrid, "mlk,x...mk->x...ml")  # (2, ..., m, l)
+    return Ggrid
+
+
+def adjoint_scales_grid2(H: jax.Array, wb: WaveletBasis) -> jax.Array:
+    """Stacked-real half-spectrum grid -> coefficient pyramid (real).
+
+    (..., 2, L(m>=0), L(l)) -> (..., ncoefs).  The exact real-linear
+    transpose of :func:`synthesis_grid2` (the scale half of
+    ``synthesis_adjoint`` in grid form).
+    """
     out = []
-    for kap_g, basis, bl in zip(kap_gs, wb.bases, bls):
+    for kap_g, basis, bl in zip(_kappa_grids(wb), wb.bases, wb.bandlimits):
         Hj = H[..., :bl, :bl] * kap_g
-        Ft = sht._mm(basis.q[bl - 1 :], Hj, "mlt,x...ml->x...mt")
-        wmap = phi_synth2(Ft, basis) / (2 * bl - 1)
+        Ft = sht._mm(basis.q[bl - 1 :], Hj, "mlt,...ml->...mt")
+        wmap = sht.phi_synth_r2(Ft, basis) / (2 * bl - 1)
         out.append(wmap.reshape(wmap.shape[:-2] + (-1,)))
     return jnp.concatenate(out, axis=-1)
 
@@ -520,6 +517,7 @@ class DirectionalWaveletBasis:
     J_min: int
     J_max: int
     dirs: int
+    spin: int
     bandlimits: tuple  # (nscales+1,): [scaling, j=J_min..J_max]
     ns: tuple  # allowed azimuthal orders n (length N)
     eta_flm: jax.Array  # (bl0^2,) scaling tiling over lm
@@ -550,23 +548,34 @@ class DirectionalWaveletBasis:
 jax.tree_util.register_dataclass(
     DirectionalWaveletBasis,
     data_fields=["eta_flm", "scal_basis", "psi", "dir_bases", "Egamma", "main"],
-    meta_fields=["L", "B", "J_min", "J_max", "dirs", "bandlimits", "ns"],
+    meta_fields=["L", "B", "J_min", "J_max", "dirs", "spin", "bandlimits", "ns"],
 )
 
 _DWB_CACHE: dict = {}
 
 
 def get_directional_basis(
-    L: int, B: float, J_min: int, dirs: int, dtype=None, use_disk_cache: bool = True
+    L: int, B: float, J_min: int, dirs: int, spin: int = 0, dtype=None,
+    use_disk_cache: bool = True
 ) -> DirectionalWaveletBasis:
+    """Directional basis; ``spin != 0`` analyses a spin-``spin`` signal
+    (the reference threads ``spin`` through pys2let's directional variants at
+    ``/root/reference/pxmcmc/transforms.py:84-98``).  The tiling functions are
+    spin-independent; spin enters only through which SHT reads the input
+    signal (``main``/``scal_basis`` at spin s), so the admissibility identity
+    — and hence exact invertibility — is unchanged."""
     assert dirs >= 2, "use get_wavelet_basis for the axisymmetric case"
     dtype = dtype or real_dtype()
-    key = (L, float(B), J_min, dirs, jnp.dtype(dtype).name)
+    key = (L, float(B), J_min, dirs, spin, jnp.dtype(dtype).name)
     if key in _DWB_CACHE:
         return _DWB_CACHE[key]
     N = dirs
     eta, kappas = tiling(B, L, J_min)
     bls = tuple(int(b) for b in multires_bandlimits(L, B, J_min))
+    if spin != 0:
+        # every scale's SHT needs bl > |spin| (coefficients with l < |spin|
+        # vanish for a spin-s signal)
+        bls = tuple(max(b, abs(spin) + 1) for b in bls)
     s = tiling_direction(L, N)
     ns = tuple(n for n in range(-(N - 1), N) if (N + n) % 2 == 1)
     bl0 = bls[0]
@@ -585,20 +594,24 @@ def get_directional_basis(
     gammas = 2 * np.pi * np.arange(2 * N - 1) / (2 * N - 1)
     E = np.exp(1j * np.outer(gammas, np.asarray(ns)))
     dwb = DirectionalWaveletBasis(
-        L=L, B=float(B), J_min=J_min, J_max=j_max(B, L), dirs=N,
+        L=L, B=float(B), J_min=J_min, J_max=j_max(B, L), dirs=N, spin=spin,
         bandlimits=bls, ns=ns,
         eta_flm=jnp.asarray(eta[ls0], dtype=dtype),
-        scal_basis=sht.get_basis(bl0, 0, dtype=dtype, use_disk_cache=use_disk_cache),
+        scal_basis=sht.get_basis(bl0, spin, dtype=dtype, use_disk_cache=use_disk_cache),
         psi=tuple(psi),
         dir_bases=tuple(dir_bases),
         Egamma=jnp.asarray(E, dtype=jnp.complex128 if dtype == jnp.float64 else jnp.complex64),
-        main=sht.get_basis(L, 0, dtype=dtype, use_disk_cache=use_disk_cache),
+        main=sht.get_basis(L, spin, dtype=dtype, use_disk_cache=use_disk_cache),
     )
     _DWB_CACHE[key] = dwb
     return dwb
 
 
-def _dir_real(x) -> bool:
+def _dir_real(x, dwb=None) -> bool:
+    """Real output/fast-path applies only to spin-0 real arrays (spin-s
+    signals are intrinsically complex)."""
+    if dwb is not None and dwb.spin != 0:
+        return False
     return not jnp.issubdtype(x.dtype, jnp.complexfloating)
 
 
@@ -609,7 +622,7 @@ def analysis_dir(f: jax.Array, dwb: DirectionalWaveletBasis) -> jax.Array:
     (..., L(2L-1)) -> (..., ncoefs), layout [scaling | scale j: gamma-major
     (2N-1, bl, 2bl-1) flattened | ...].  Real input gives real coefficients.
     """
-    real = _dir_real(f)
+    real = _dir_real(f, dwb)
     L = dwb.L
     fmap = f.reshape(f.shape[:-1] + (L, 2 * L - 1))
     flm = sht.forward_real(fmap, dwb.main) if real else sht.forward(fmap, dwb.main)
@@ -650,7 +663,7 @@ def synthesis_dir(X: jax.Array, dwb: DirectionalWaveletBasis) -> jax.Array:
     """Directional multires coefficients -> pixel map (exact inverse of
     :func:`analysis_dir` by the admissibility identity eta^2 + sum_{j}
     kappa_j^2 sum_n s_ln^2 = 1)."""
-    real = _dir_real(X)
+    real = _dir_real(X, dwb)
     L = dwb.L
     G = 2 * dwb.dirs - 1
     blocks = _split_dir(X, dwb)
@@ -679,7 +692,7 @@ def synthesis_dir(X: jax.Array, dwb: DirectionalWaveletBasis) -> jax.Array:
 @jax.jit
 def synthesis_dir_adjoint(f: jax.Array, dwb: DirectionalWaveletBasis) -> jax.Array:
     """Adjoint of :func:`synthesis_dir`: pixel map -> coefficient space."""
-    real = _dir_real(f)
+    real = _dir_real(f, dwb)
     L = dwb.L
     fmap = f.reshape(f.shape[:-1] + (L, 2 * L - 1))
     glm = sht.inverse_adjoint(fmap.astype(dwb.Egamma.dtype), dwb.main)
@@ -706,7 +719,7 @@ def synthesis_dir_adjoint(f: jax.Array, dwb: DirectionalWaveletBasis) -> jax.Arr
 @jax.jit
 def analysis_dir_adjoint(X: jax.Array, dwb: DirectionalWaveletBasis) -> jax.Array:
     """Adjoint of :func:`analysis_dir`: coefficient space -> pixel map."""
-    real = _dir_real(X)
+    real = _dir_real(X, dwb)
     L = dwb.L
     G = 2 * dwb.dirs - 1
     blocks = _split_dir(X, dwb)
@@ -768,5 +781,58 @@ def synthesis_lm(X: jax.Array, wb: WaveletBasis) -> jax.Array:
         pad = L * L - n
         wlm_full = jnp.pad(wlm, [(0, 0)] * (wlm.ndim - 1) + [(0, pad)])
         flm = wlm_full if flm is None else flm + wlm_full
+        start += n
+    return flm
+
+
+# ---------------------------------------------------------------------------
+# Directional harmonic-space transforms (pys2let analysis_lm2lmn with N > 1,
+# `/root/reference/pxmcmc/transforms.py:89-93`): per scale j and azimuthal
+# order n, W^{jn}_{lm} = f_lm kappa^j_l s_{ln} — a real block-diagonal
+# multiply (no SHTs at all), so synthesis is exactly the transpose of
+# analysis and synthesis(analysis(f)) == f by the directional admissibility
+# identity eta^2 + sum_j kappa_j^2 sum_n s_ln^2 = 1.  Layout:
+# [scaling (bl0^2) | scale j: n-major (N, bl_j^2) flattened | ...].
+# Valid for any spin (the tiling is spin-independent; spin only selects
+# which SHT produced/consumes the flm vector).
+# ---------------------------------------------------------------------------
+
+def ncoefs_dir_lm(dwb: DirectionalWaveletBasis) -> tuple[int, int]:
+    """(nscal, nwav) of the harmonic directional pyramid."""
+    nscal = int(dwb.bandlimits[0]) ** 2
+    nwav = sum(len(dwb.ns) * int(b) ** 2 for b in dwb.bandlimits[1:])
+    return nscal, nwav
+
+
+def analysis_dir_lm(flm: jax.Array, dwb: DirectionalWaveletBasis) -> jax.Array:
+    """Harmonic coefficients -> directional multires harmonic pyramid.
+
+    (..., L^2) -> (..., nscal + nwav) with the layout above.
+    """
+    bl0 = dwb.bandlimits[0]
+    out = [flm[..., : bl0 * bl0] * dwb.eta_flm]
+    for psi, bl in zip(dwb.psi, dwb.bandlimits[1:]):
+        # psi: (N, bl^2) real; broadcast over the order axis then flatten
+        w = flm[..., None, : bl * bl] * psi
+        out.append(w.reshape(w.shape[:-2] + (-1,)))
+    return jnp.concatenate(out, axis=-1)
+
+
+def synthesis_dir_lm(X: jax.Array, dwb: DirectionalWaveletBasis) -> jax.Array:
+    """Directional multires harmonic pyramid -> harmonic coefficients.
+
+    Exact inverse (and transpose) of :func:`analysis_dir_lm`.
+    """
+    L = dwb.L
+    N = len(dwb.ns)
+    bl0 = dwb.bandlimits[0]
+    start = bl0 * bl0
+    slm = X[..., :start] * dwb.eta_flm
+    flm = jnp.pad(slm, [(0, 0)] * (slm.ndim - 1) + [(0, L * L - bl0 * bl0)])
+    for psi, bl in zip(dwb.psi, dwb.bandlimits[1:]):
+        n = N * bl * bl
+        W = X[..., start : start + n].reshape(X.shape[:-1] + (N, bl * bl))
+        wlm = jnp.einsum("...nk,nk->...k", W, psi)
+        flm = flm + jnp.pad(wlm, [(0, 0)] * (wlm.ndim - 1) + [(0, L * L - bl * bl)])
         start += n
     return flm

@@ -56,9 +56,12 @@ class SphericalWaveletTransform(Transform):
     :param int L: angular bandlimit
     :param float B: wavelet scale parameter
     :param int J_min: minimum wavelet scale
-    :param int dirs: azimuthal bandlimit; dirs > 1 uses directional wavelets
-        (pixel mode, spin 0): per scale the coefficients live on an SO(3) MW
-        grid (2*dirs-1 directions), see ``ops.wavelets.analysis_dir``
+    :param int dirs: azimuthal bandlimit; dirs > 1 uses directional wavelets:
+        in pixel mode the per-scale coefficients live on an SO(3) MW grid
+        (2*dirs-1 directions, see ``ops.wavelets.analysis_dir``); in harmonic
+        mode they are the per-order lmn pyramids of pys2let's
+        ``analysis_lm2lmn`` (see ``ops.wavelets.analysis_dir_lm``).  Both
+        compose with ``spin != 0`` (the signal-side SHTs run at that spin)
     :param int spin: spin number of the signal
     :param bool harmonic: inputs/outputs in spherical harmonic space, like
         the reference's pys2let ``analysis_lm2lmn``/``synthesis_lmn2lm``
@@ -76,13 +79,14 @@ class SphericalWaveletTransform(Transform):
         self.spin = spin
         self.harmonic = harmonic
         if dirs > 1:
-            if harmonic or spin != 0:
-                raise NotImplementedError(
-                    "directional wavelets: pixel mode, spin 0 only"
-                )
-            self.basis = wavelets.get_directional_basis(L, B, J_min, dirs, dtype=dtype)
-            self.nscal = self.basis.nscal
-            self.nwav = self.basis.nwav
+            self.basis = wavelets.get_directional_basis(
+                L, B, J_min, dirs, spin=spin, dtype=dtype
+            )
+            if harmonic:
+                self.nscal, self.nwav = wavelets.ncoefs_dir_lm(self.basis)
+            else:
+                self.nscal = self.basis.nscal
+                self.nwav = self.basis.nwav
         else:
             self.basis = wavelets.get_wavelet_basis(L, B, J_min, spin=spin, dtype=dtype)
             if harmonic:
@@ -96,6 +100,8 @@ class SphericalWaveletTransform(Transform):
     def forward(self, X):
         """Image (or flm) -> wavelet coefficients (analysis)."""
         if self.dirs > 1:
+            if self.harmonic:
+                return wavelets.analysis_dir_lm(jnp.asarray(X), self.basis)
             return wavelets.analysis_dir(jnp.asarray(X), self.basis)
         if self.harmonic:
             return wavelets.analysis_lm(jnp.asarray(X), self.basis)
@@ -104,6 +110,8 @@ class SphericalWaveletTransform(Transform):
     def inverse(self, X):
         """Wavelet coefficients -> image (or flm) (synthesis)."""
         if self.dirs > 1:
+            if self.harmonic:
+                return wavelets.synthesis_dir_lm(jnp.asarray(X), self.basis)
             return wavelets.synthesis_dir(jnp.asarray(X), self.basis)
         if self.harmonic:
             return wavelets.synthesis_lm(jnp.asarray(X), self.basis)
@@ -112,6 +120,9 @@ class SphericalWaveletTransform(Transform):
     def forward_adjoint(self, X):
         """Adjoint analysis: coefficients -> image (or flm)."""
         if self.dirs > 1:
+            if self.harmonic:
+                # real block-diagonal operator: adjoint == synthesis
+                return wavelets.synthesis_dir_lm(jnp.asarray(X), self.basis)
             return wavelets.analysis_dir_adjoint(jnp.asarray(X), self.basis)
         if self.harmonic:
             return wavelets.synthesis_lm(jnp.asarray(X), self.basis)
@@ -120,6 +131,8 @@ class SphericalWaveletTransform(Transform):
     def inverse_adjoint(self, X):
         """Adjoint synthesis: image (or flm) -> coefficients."""
         if self.dirs > 1:
+            if self.harmonic:
+                return wavelets.analysis_dir_lm(jnp.asarray(X), self.basis)
             return wavelets.synthesis_dir_adjoint(jnp.asarray(X), self.basis)
         if self.harmonic:
             return wavelets.analysis_lm(jnp.asarray(X), self.basis)

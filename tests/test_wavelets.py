@@ -218,6 +218,81 @@ class TestDirectional:
         Xb = np.asarray(t.forward(fb))
         np.testing.assert_allclose(Xb[1], 2 * np.asarray(X), atol=1e-10)
 
+    @pytest.mark.parametrize("dirs", [2, 3])
+    def test_harmonic_roundtrip_and_transpose(self, dirs, rng):
+        """Directional harmonic mode (pys2let analysis_lm2lmn role,
+        `/root/reference/pxmcmc/transforms.py:89-93`): exact round trip by
+        directional admissibility, and synthesis == transpose of analysis."""
+        from pxmcmc_tpu.ops import wavelets as wv
+
+        L, B, J_min = 16, 2, 1
+        dwb = wv.get_directional_basis(L, B, J_min, dirs, use_disk_cache=False)
+        flm = rng.standard_normal(L * L) + 1j * rng.standard_normal(L * L)
+        X = np.asarray(wv.analysis_dir_lm(jnp.asarray(flm), dwb))
+        nscal, nwav = wv.ncoefs_dir_lm(dwb)
+        assert X.shape == (nscal + nwav,)
+        rec = np.asarray(wv.synthesis_dir_lm(jnp.asarray(X), dwb))
+        np.testing.assert_allclose(rec, flm, atol=1e-6)
+        # adjoint dot-test: operator is real block-diagonal, so
+        # <Y, A f> == <A^T Y, f> with A^T = synthesis
+        Y = rng.standard_normal(X.shape[0]) + 1j * rng.standard_normal(X.shape[0])
+        lhs = np.vdot(Y, np.asarray(wv.analysis_dir_lm(jnp.asarray(flm), dwb)))
+        rhs = np.vdot(np.asarray(wv.synthesis_dir_lm(jnp.asarray(Y), dwb)), flm)
+        np.testing.assert_allclose(lhs, rhs, rtol=1e-5)
+
+    def test_harmonic_transform_class_dispatch(self, rng):
+        from pxmcmc_tpu.transforms import SphericalWaveletTransform
+
+        L, B, J_min, dirs = 12, 2, 1, 2
+        t = SphericalWaveletTransform(L, B, J_min, dirs=dirs, harmonic=True)
+        flm = rng.standard_normal(L * L) + 1j * rng.standard_normal(L * L)
+        X = t.forward(flm)
+        assert X.shape == (t.ncoefs,)
+        np.testing.assert_allclose(np.asarray(t.inverse(X)), flm, atol=1e-6)
+        # inverse_adjoint == forward (transpose pairing)
+        np.testing.assert_allclose(
+            np.asarray(t.inverse_adjoint(flm)), np.asarray(X), atol=1e-6
+        )
+
+    @pytest.mark.parametrize("spin", [1, 2])
+    def test_spin_roundtrip_and_adjoints(self, spin, rng):
+        """Directional wavelets of a spin-s signal: the signal-side SHTs run
+        at spin s (ref threads spin through pys2let's directional variants,
+        `/root/reference/pxmcmc/transforms.py:84-98`).  Round trip is exact
+        on bandlimited spin-s maps; adjoint dot-tests hold on arbitrary
+        vectors."""
+        from pxmcmc_tpu.ops import sht, wavelets as wv
+
+        L, B, J_min, dirs = 16, 2, 1, 2
+        dwb = wv.get_directional_basis(
+            L, B, J_min, dirs, spin=spin, use_disk_cache=False
+        )
+        # bandlimited spin-s map: random flm supported on l >= |spin|
+        flm = rng.standard_normal(L * L) + 1j * rng.standard_normal(L * L)
+        ls = np.floor(np.sqrt(np.arange(L * L))).astype(int)
+        flm[ls < abs(spin)] = 0.0
+        f = np.asarray(sht.inverse(jnp.asarray(flm), dwb.main)).flatten()
+        X = wv.analysis_dir(jnp.asarray(f), dwb)
+        assert np.iscomplexobj(np.asarray(X))  # spin signals stay complex
+        rec = np.asarray(wv.synthesis_dir(X, dwb))
+        np.testing.assert_allclose(rec, f, atol=1e-4)
+        # adjoint dot-tests
+        npix = dwb.npix
+        g = rng.standard_normal(npix) + 1j * rng.standard_normal(npix)
+        Y = rng.standard_normal(dwb.ncoefs) + 1j * rng.standard_normal(dwb.ncoefs)
+        lhs = np.vdot(Y, np.asarray(wv.analysis_dir(jnp.asarray(g), dwb)))
+        rhs = np.vdot(np.asarray(wv.analysis_dir_adjoint(jnp.asarray(Y), dwb)), g)
+        np.testing.assert_allclose(lhs, rhs, rtol=1e-4)
+        lhs = np.vdot(g, np.asarray(wv.synthesis_dir(jnp.asarray(Y), dwb)))
+        rhs = np.vdot(np.asarray(wv.synthesis_dir_adjoint(jnp.asarray(g), dwb)), Y)
+        np.testing.assert_allclose(lhs, rhs, rtol=1e-4)
+
+    def test_spin_transform_class_dispatch(self, rng):
+        from pxmcmc_tpu.transforms import SphericalWaveletTransform
+
+        t = SphericalWaveletTransform(16, 2, 1, dirs=2, spin=2)
+        assert t.ncoefs == t.basis.ncoefs
+
     def test_wavelet_tiling_dirs(self):
         """wavelet_tiling populates |m| < dirs entries and keeps the
         admissibility column sums (pys2let-convention output surface)."""
