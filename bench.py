@@ -110,7 +110,7 @@ def measure(L, nchains, niter, nrep=3):
         dtype=jnp.float32,
     )
     if sampler._needs_initial_preds:
-        preds_fn = jax.jit(threader.wrap(lambda x: sampler.forward.forward(x)))
+        preds_fn = jax.jit(threader.wrap(lambda x: sampler.forward.forward_internal(x)))
         preds = preds_fn(captures0, X)
     else:
         preds = None

@@ -35,6 +35,7 @@ class ForwardOperator:
     def __init__(self, data, sig_d, setting, transform=None, measurement=None, nparams=None):
         data = np.asarray(data)
         self.iscomplex = np.iscomplexobj(data)
+        self._data_np = data  # host copy for fast-path table builds
         self.data = jnp.asarray(
             data, dtype=complex_dtype() if self.iscomplex else real_dtype()
         )
@@ -102,14 +103,92 @@ class ForwardOperator:
             self._invcov_kind = "vector"
         else:
             raise TypeError("sig_d must be a float scalar, vector or 2D matrix")
+        self._invcov_np = 1.0 / var  # host copy for fast-path table builds
         self.invcov = jnp.asarray(
-            1.0 / var, dtype=complex_dtype() if np.iscomplexobj(var) else real_dtype()
+            self._invcov_np,
+            dtype=complex_dtype() if np.iscomplexobj(var) else real_dtype(),
         )
 
     def apply_invcov(self, v):
         if self._invcov_kind == "matrix":
             return jnp.einsum("de,...e->...d", self.invcov, v)
         return self.invcov * v
+
+    # -- internal (fast-path) prediction representation ----------------------
+    # Samplers drive the model exclusively through these four methods.  By
+    # default they delegate to the public reference-parity API; model shapes
+    # with a TPU-native fast formulation (today: the stacked-real weak
+    # -lensing chain of ops/lensing.py) override the *representation* of the
+    # prediction vector while keeping every public method unchanged.
+
+    def _wl_fast_ok(self) -> bool:
+        import os
+
+        from .measurements import WeakLensing
+        from .transforms import SphericalWaveletTransform
+
+        tr = getattr(self, "transform", None)
+        return (
+            os.environ.get("PXMCMC_WL_FAST", "1") != "0"
+            and self.setting == "synthesis"
+            and isinstance(getattr(self, "measurement", None), WeakLensing)
+            and isinstance(tr, SphericalWaveletTransform)
+            and tr.spin == 0
+            and getattr(tr, "dirs", 1) == 1
+            and not getattr(tr, "harmonic", False)
+            and self._invcov_kind in ("scalar", "vector")
+            and tr.L == self.measurement.L
+        )
+
+    def prepare(self):
+        """Build fast-path tables (called by the sampler before capture
+        setup, so the tables thread through jit as runtime arguments)."""
+        if self._wl_fast_ok():
+            if not hasattr(self, "_wl"):
+                from .ops.lensing import build_wl_tables
+
+                self._wl = build_wl_tables(
+                    self.measurement, self._data_np, self._invcov_np
+                )
+        elif hasattr(getattr(self, "measurement", None), "ensure_bases"):
+            self.measurement.ensure_bases()
+
+    def _use_wl(self, arr) -> bool:
+        """Fast path applies to real (stacked-real) arrays only; complex
+        chains (params.complex=True) keep the generic representation."""
+        return getattr(self, "_wl", None) is not None and not jnp.iscomplexobj(arr)
+
+    def forward_internal(self, X):
+        """Predictions in the sampler's internal representation."""
+        if self._wl_fast_ok() and not hasattr(self, "_wl"):
+            self.prepare()
+        if self._use_wl(X):
+            from .ops.lensing import wl_forward2
+
+            return wl_forward2(X, self.transform.basis, self._wl)
+        return self.forward(X)
+
+    def gradg_internal(self, preds):
+        if self._use_wl(preds):
+            from .ops.lensing import wl_gradg2
+
+            return wl_gradg2(preds, self.transform.basis, self._wl)
+        return self.calc_gradg(preds)
+
+    def fidelity_internal(self, preds):
+        if self._use_wl(preds):
+            from .ops.lensing import wl_fidelity2
+
+            return wl_fidelity2(preds, self._wl)
+        return self.logpi_fidelity(preds)
+
+    def preds_to_data(self, preds):
+        """Internal predictions -> the reference's data-layout vector."""
+        if self._use_wl(preds):
+            from .ops.lensing import wl_preds_complex
+
+            return wl_preds_complex(preds, self._wl)
+        return preds
 
 
 class SphericalWaveletTransformOperator(ForwardOperator):

@@ -114,7 +114,7 @@ class PxMCMC:
     # -- posterior ----------------------------------------------------------
     def logpi(self, X, preds):
         """(log posterior, L2, prior) of a sample (ref ``mcmc.py:71-82``)."""
-        L2 = self.forward.logpi_fidelity(preds)
+        L2 = self.forward.fidelity_internal(preds)
         prior = self.prior.prior(X)
         return -self.mu * prior - L2, L2, prior
 
@@ -131,8 +131,8 @@ class PxMCMC:
             gradg = self._gram_gradg(X)
         else:
             if preds is None:
-                preds = self.forward.forward(X)
-            gradg = self._cast(self.forward.calc_gradg(preds))
+                preds = self.forward.forward_internal(X)
+            gradg = self._cast(self.forward.gradg_internal(preds))
         return -gradf - gradg
 
     def _gram_ok(self) -> bool:
@@ -175,6 +175,8 @@ class PxMCMC:
 
     def _prepare(self):
         """Hook for precomputing derived device tables before capture setup."""
+        if hasattr(self.forward, "prepare"):
+            self.forward.prepare()
         if self._gram_ok() and not hasattr(self, "_gram"):
             self._setup_gram()
 
@@ -223,7 +225,7 @@ class PxMCMC:
                 raise ValueError("Initial sample given has incorrect size")
         if not self._needs_initial_preds:
             return X, None
-        preds = self.forward.forward(X)
+        preds = self.forward.forward_internal(X)
         return X, preds
 
     # -- runtime ------------------------------------------------------------
@@ -501,14 +503,14 @@ class PxMCMC:
         need_logpi = {"logposterior", "L2", "prior"} & set(self.track)
         preds = state.preds
         if preds is None and (need_logpi or "predictions" in self.track):
-            preds = self.forward.forward(state.X)  # gram path: on demand only
+            preds = self.forward.forward_internal(state.X)  # gram path: on demand
         if need_logpi:
             logPi, L2, prior = self.logpi(state.X, preds)
             rec.update(logposterior=logPi, L2=L2, prior=prior)
         if "chain" in self.track or "summary" in self.track:
             rec["chain"] = state.X
         if "predictions" in self.track:
-            rec["predictions"] = preds
+            rec["predictions"] = self.forward.preds_to_data(preds)
         return rec
 
     def _store_tracking(self, j, nblk, recs, traces):
@@ -585,10 +587,12 @@ class MYULA(PxMCMC):
         def compute_gradg(state):
             if gram:
                 return self._gram_gradg(state.X)
-            return self._cast(self.forward.calc_gradg(state.preds))
+            return self._cast(self.forward.gradg_internal(state.preds))
 
         def next_state(X):
-            return ChainState(X=X, preds=None if gram else self.forward.forward(X))
+            return ChainState(
+                X=X, preds=None if gram else self.forward.forward_internal(X)
+            )
 
         if self._can_fuse():
             from .ops.threshold import myula_fused_step
@@ -727,7 +731,7 @@ class PxMALA(MYULA):
         return MALAState(
             X=X,
             preds=preds,
-            gradg=self._cast(self.forward.calc_gradg(preds)),
+            gradg=self._cast(self.forward.gradg_internal(preds)),
             proxf=self.prior.proxf(X),
             logpi=logpi,
             L2=L2,
@@ -798,8 +802,8 @@ class PxMALA(MYULA):
                 priorXp = self.prior.prior(X_prop)
                 logpiXp = -self.mu * priorXp - L2Xp
             else:
-                prop_preds = self.forward.forward(X_prop)
-                gradg_prop = self._cast(self.forward.calc_gradg(prop_preds))
+                prop_preds = self.forward.forward_internal(X_prop)
+                gradg_prop = self._cast(self.forward.gradg_internal(prop_preds))
                 logpiXp, L2Xp, priorXp = self.logpi(X_prop, prop_preds)
             proxf_prop = self.prior.proxf(X_prop)
 
@@ -956,7 +960,7 @@ class SKROCK(PxMCMC):
         def step(state, key):
             Z = self._noise(key, state.X.shape)
             X = self.chain_step(state.X, Z)  # _gradlogpi uses the gram path
-            preds = None if gram else self.forward.forward(X)
+            preds = None if gram else self.forward.forward_internal(X)
             return ChainState(X=X, preds=preds), ()
 
         return step

@@ -149,8 +149,12 @@ class WeakLensing(WeakLensingHarmonic):
         super().__init__(L, mask, ngal, dtype=dtype)
         self.map_shape = sample_shape(L)
         npix = L * (2 * L - 1)
-        self.basis0 = sht.get_basis(L, 0, dtype=dtype)
-        self.basis2 = sht.get_basis(L, 2, dtype=dtype)
+        self._basis_dtype = dtype
+        # basis0/basis2 (and their per-m pseudo-inverses) are built lazily:
+        # the stacked-real fast path (ops/lensing.py) only needs the spin-2
+        # lambda table, so a fast-path sampling run never compiles the
+        # spin-2 pinv at all.  ensure_bases() materialises them eagerly for
+        # the generic complex path (so CaptureThreader can thread them).
 
         if mask is None:
             self.mask = np.ones(self.map_shape, dtype=bool)
@@ -169,11 +173,26 @@ class WeakLensing(WeakLensingHarmonic):
         self.npix = npix
 
         if ngal is None:
-            self.inv_cov = jnp.ones(self.ndata, dtype=dtype or real_dtype())
+            self._inv_cov_np = np.ones(self.ndata)
         else:
-            self.inv_cov = jnp.asarray(
-                self.ngal_to_inv_cov(np.asarray(ngal)), dtype=dtype or real_dtype()
-            )
+            self._inv_cov_np = np.asarray(self.ngal_to_inv_cov(np.asarray(ngal)))
+        self.inv_cov = jnp.asarray(self._inv_cov_np, dtype=dtype or real_dtype())
+
+    @property
+    def basis0(self):
+        if "_basis0" not in self.__dict__:
+            self._basis0 = sht.get_basis(self.L, 0, dtype=self._basis_dtype)
+        return self._basis0
+
+    @property
+    def basis2(self):
+        if "_basis2" not in self.__dict__:
+            self._basis2 = sht.get_basis(self.L, 2, dtype=self._basis_dtype)
+        return self._basis2
+
+    def ensure_bases(self):
+        """Materialise the SHT bases eagerly (generic complex path)."""
+        self.basis0, self.basis2
 
     # -- masking ------------------------------------------------------------
     def mask_forward(self, f):

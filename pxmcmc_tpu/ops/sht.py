@@ -233,6 +233,36 @@ def get_basis(L: int, spin: int = 0, dtype=None, use_disk_cache: bool = True,
     return basis
 
 
+_LAM_CACHE: dict = {}
+
+
+def get_lambda(L: int, spin: int, dtype=None, tables: str | None = None) -> jax.Array:
+    """Just the (2L-1, L, L) spin-lambda theta table — no pseudo-inverse.
+
+    The stacked-real weak-lensing chain (ops/lensing.py) synthesises gamma
+    with the spin-2 lambda only; fetching it alone skips the (compile-heavy)
+    per-m pinv of :func:`get_basis`.
+    """
+    dtype = dtype or real_dtype()
+    mode = tables or tables_mode()
+    key = (L, spin, jnp.dtype(dtype).name, mode)
+    if key in _LAM_CACHE:
+        return _LAM_CACHE[key]
+    bkey = (L, spin, jnp.dtype(dtype).name, mode, "pinv")
+    if bkey in _BASIS_CACHE:  # reuse an already-built full basis
+        lam = _BASIS_CACHE[bkey].lam
+    elif mode == "device":
+        from .device_tables import spin_lambda_device
+
+        gen_dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        lam = spin_lambda_device(L, spin, dtype=gen_dtype).astype(dtype)
+    else:
+        thetas, _ = sampling.sample_positions(L)
+        lam = jnp.asarray(spin_lambda_table(L, spin, thetas), dtype=dtype)
+    _LAM_CACHE[key] = lam
+    return lam
+
+
 # ---------------------------------------------------------------------------
 # Layout helpers (flm vector <-> (m, l) matrix)
 # ---------------------------------------------------------------------------
