@@ -27,28 +27,34 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-L_BENCH = int(os.environ.get("PXMCMC_BENCH_L", 256))
-NCHAINS = int(os.environ.get("PXMCMC_BENCH_CHAINS", 256))
-BASELINE_CACHE = os.path.join(
-    REPO, ".cache",
-    f"bench_baseline_{os.environ.get('PXMCMC_BENCH_CONFIG', 'earthtopography')}.json",
+CONFIG = os.environ.get("PXMCMC_BENCH_CONFIG", "earthtopography")
+#: Bench configurations, one per BASELINE.json "configs" row:
+#:   earthtopography          MYULA synthesis (flagship; Gram fast path)
+#:   earthtopography-analysis MYULA analysis formulation (prox through the
+#:                            wavelet transform; no Gram path)
+#:   pxmala                   PxMALA with MH accept/reject on earthtopography
+#:   phasevel                 path-integral (dense matvec) measurement at the
+#:                            paper bandlimit L=28
+#:   weaklensing              masked spin-0/2 chain (stacked-real fast path)
+_DEFAULT_L = {"phasevel": 28}
+L_BENCH = int(
+    os.environ.get("PXMCMC_BENCH_L", _DEFAULT_L.get(CONFIG, 256))
 )
+NCHAINS = int(os.environ.get("PXMCMC_BENCH_CHAINS", 256))
+BASELINE_CACHE = os.path.join(REPO, ".cache", f"bench_baseline_{CONFIG}.json")
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-CONFIG = os.environ.get("PXMCMC_BENCH_CONFIG", "earthtopography")
-
-
 def build_step(L, nchains, seed=0):
     import numpy as np
 
-    from pxmcmc_tpu.mcmc import MYULA, PxMCMCParams
+    from pxmcmc_tpu.mcmc import MYULA, PxMALA, PxMCMCParams
     from pxmcmc_tpu.prior import S2_Wavelets_L1
 
-    B, J_min = (1.5, 2) if CONFIG == "earthtopography" else (2, 2)
+    B, J_min = (1.5, 2) if CONFIG.startswith("earthtopography") or CONFIG == "pxmala" else (2, 2)
     rng = np.random.default_rng(0)
     # Synthetic smooth data field, generated host-side in numpy so bench setup
     # never round-trips the device (the axon tunnel's host transfers can be
@@ -62,6 +68,9 @@ def build_step(L, nchains, seed=0):
         verbosity=0, nchains=nchains,
         fused_step=bool(int(os.environ.get("PXMCMC_BENCH_FUSED", "0"))),
     )
+    setting = "analysis" if CONFIG == "earthtopography-analysis" else "synthesis"
+    sampler_cls = PxMALA if CONFIG == "pxmala" else MYULA
+    prior_cls = S2_Wavelets_L1
     if CONFIG == "weaklensing":
         # full WL chain: spin-0/2 SHTs, harmonic kernel, mask, ngal covariance
         from pxmcmc_tpu.forward import ForwardOperator
@@ -79,15 +88,34 @@ def build_step(L, nchains, seed=0):
             transform=transform, measurement=measurement,
             nparams=transform.ncoefs,
         )
+    elif CONFIG == "phasevel":
+        # dense path-integral matvec at the paper's bandlimit (ref
+        # /root/reference/experiments/phasevel/main.py:107 default L=28);
+        # synthetic random great-circle paths through the real path builder
+        from pxmcmc_tpu.forward import PathIntegralOperator
+        from pxmcmc_tpu.ops.paths import build_path_matrix
+        from pxmcmc_tpu.prior import S2_Wavelets_L1_Power_Weights
+
+        npaths = int(os.environ.get("PXMCMC_BENCH_NPATHS", 3000))
+        lat = rng.uniform(-90, 90, size=(npaths, 2))
+        lon = rng.uniform(-180, 180, size=(npaths, 2))
+        starts = np.stack([lat[:, 0], lon[:, 0]], axis=1)
+        stops = np.stack([lat[:, 1], lon[:, 1]], axis=1)
+        A = build_path_matrix(starts, stops, L)
+        pv_data = rng.standard_normal(npaths) * 0.1
+        fwd = PathIntegralOperator(
+            A, pv_data, np.full(npaths, 0.1), setting, L, B, J_min
+        )
+        prior_cls = S2_Wavelets_L1_Power_Weights
     else:
         from pxmcmc_tpu.forward import SphericalWaveletTransformOperator
 
-        fwd = SphericalWaveletTransformOperator(data, 0.1, "synthesis", L, B, J_min)
-    prior = S2_Wavelets_L1(
-        "synthesis", fwd.transform.inverse, fwd.transform.inverse_adjoint,
+        fwd = SphericalWaveletTransformOperator(data, 0.1, setting, L, B, J_min)
+    prior = prior_cls(
+        setting, fwd.transform.inverse, fwd.transform.inverse_adjoint,
         params.lmda * params.mu, L=L, B=B, J_min=J_min,
     )
-    sampler = MYULA(fwd, prior, params, seed=seed)
+    sampler = sampler_cls(fwd, prior, params, seed=seed)
     return sampler
 
 
@@ -226,8 +254,9 @@ def main():
     value, ess_per_s = measure(
         L_BENCH, NCHAINS, niter=int(os.environ.get("PXMCMC_BENCH_NITER", 20))
     )
+    algo = "PxMALA" if CONFIG == "pxmala" else "MYULA"
     out = {
-        "metric": f"aggregate MYULA chain-iterations/s, {CONFIG} L={L_BENCH}, {NCHAINS} chains",
+        "metric": f"aggregate {algo} chain-iterations/s, {CONFIG} L={L_BENCH}, {NCHAINS} chains",
         "value": round(value, 1),
         "unit": "iterations/s",
         "vs_baseline": round(value / baseline, 2),
