@@ -179,18 +179,73 @@ def measure(L, nchains, niter, nrep=3):
         log(f"  rep {r}: {dt:.3f}s -> {rate:,.0f} chain-iters/s")
         best = max(best, rate)
 
-    # ESS/s (BASELINE.json metric): record a short segment of the leading
-    # coefficients, compute device-side ESS (diagnostics.py mesh reduction),
-    # divide by the segment's wall time.
+    # ESS/s (BASELINE.json metric): tune the step size to the model's
+    # measured Lipschitz constant, record a segment of a random coefficient
+    # subset spanning all wavelet scales, compute device-side ESS
+    # (diagnostics.py mesh reduction), divide by the segment's wall time.
     ess_per_s = None
     ness = int(os.environ.get("PXMCMC_BENCH_ESS_ITERS", 128))
     if ness > 0:
-        nrec = min(256, sampler.forward.nparams)
+        import dataclasses
+
+        # ULA step size at the stability-informed choice delta = 1/Ltot with
+        # Ltot = Lf + 1/lmda: Lf = lambda_max of the fidelity Hessian,
+        # measured by power iteration on the device (gradg is affine, so
+        # B v = gradg(v) - gradg(0) applies the Hessian exactly).
+        def _power(v0):
+            def apply_B(v):
+                if sampler._gram_ok():
+                    return sampler._gram_gradg(v) - sampler._gram_gradg(
+                        jnp.zeros_like(v)
+                    )
+                g1 = sampler.forward.gradg_internal(
+                    sampler.forward.forward_internal(v)
+                )
+                g0 = sampler.forward.gradg_internal(
+                    sampler.forward.forward_internal(jnp.zeros_like(v))
+                )
+                return sampler._cast(g1) - sampler._cast(g0)
+
+            def body(i, carry):
+                v, _ = carry
+                w = apply_B(v)
+                nw = jnp.linalg.norm(w)
+                return w / (nw + 1e-30), nw
+
+            _, lam = jax.lax.fori_loop(
+                0, 30, body, (v0, jnp.zeros((), v0.dtype))
+            )
+            return lam
+
+        power_j = jax.jit(threader.wrap(_power))
+        v0 = jnp.asarray(
+            np.random.default_rng(17).standard_normal((1, sampler.forward.nparams)),
+            dtype=jnp.float32,
+        )
+        Lf = float(power_j(captures, v0))
+        delta_ess = 1.0 / (Lf + 1.0 / sampler.lmda)
+        log(f"measured fidelity Lipschitz {Lf:.3e} -> tuned delta {delta_ess:.3e}")
+        sampler.delta = float(delta_ess)
+        if hasattr(state, "delta"):  # PxMALA: reset the per-chain tuned deltas
+            state = dataclasses.replace(
+                state, delta=jnp.full_like(state.delta, delta_ess)
+            )
+
+        nrec = min(4096, sampler.forward.nparams)
+        rec_idx = jnp.asarray(
+            np.sort(
+                np.random.default_rng(123).choice(
+                    sampler.forward.nparams, size=nrec, replace=False
+                )
+            )
+        )
 
         def _block_rec(state, keys):
+            step_t = sampler._build_step()  # re-trace with the tuned delta
+
             def step_rec(st, key):
-                st, _ = step(st, key)
-                return st, st.X[..., :nrec]
+                st, _ = step_t(st, key)
+                return st, st.X[..., rec_idx]
 
             return jax.lax.scan(step_rec, state, keys)
 
@@ -213,44 +268,53 @@ def measure(L, nchains, niter, nrep=3):
 
 
 def cpu_baseline():
-    """Single-chain CPU iterations/s on the same config (cached)."""
+    """Single-chain CPU (iterations/s, ESS/s) on the same config (cached).
+
+    The ESS/s denominator uses the same tuned-delta estimator, record
+    cadence, and coefficient subset as the device measurement, so
+    ``ess_vs_baseline`` is an apples-to-apples ratio.
+    """
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
             cached = json.load(f)
-        if cached.get("L") == L_BENCH:
-            return cached["cpu_single_chain_iters_per_s"]
+        if cached.get("L") == L_BENCH and "cpu_ess_per_s" in cached:
+            return cached["cpu_single_chain_iters_per_s"], cached["cpu_ess_per_s"]
     log("measuring CPU single-chain baseline in subprocess...")
     code = (
         "import sys; sys.path.insert(0, %r)\n"
         "import bench, json\n"
-        "rate, _ = bench.measure(bench.L_BENCH, 1, niter=5, nrep=1)\n"
-        "print('BASELINE_JSON ' + json.dumps(rate))\n" % REPO
+        "rate, ess = bench.measure(bench.L_BENCH, 1, niter=5, nrep=1)\n"
+        "print('BASELINE_JSON ' + json.dumps([rate, ess]))\n" % REPO
     )
     # the CPU baseline gets the phi mode that is fastest on CPU (pocketfft
     # handles odd lengths well; the DFT matmuls only pay off on the MXU)
     env = dict(os.environ, PXMCMC_PLATFORM="cpu", JAX_PLATFORMS="cpu",
-               PXMCMC_SHT_PHI="fft", PXMCMC_BENCH_ESS_ITERS="0")
+               PXMCMC_SHT_PHI="fft")
     r = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True,
         timeout=3600, env=env, cwd=REPO,
     )
     log(r.stderr[-2000:])
-    rate = None
+    rate = ess = None
     for line in r.stdout.splitlines():
         if line.startswith("BASELINE_JSON "):
-            rate = float(line.split()[1])
+            rate, ess = json.loads(line[len("BASELINE_JSON "):])
     if rate is None:
         log("baseline measurement failed; using conservative estimate 10 it/s")
         rate = 10.0
     os.makedirs(os.path.dirname(BASELINE_CACHE), exist_ok=True)
     with open(BASELINE_CACHE, "w") as f:
-        json.dump({"cpu_single_chain_iters_per_s": rate, "L": L_BENCH}, f)
-    return rate
+        json.dump(
+            {"cpu_single_chain_iters_per_s": rate, "cpu_ess_per_s": ess,
+             "L": L_BENCH}, f,
+        )
+    return rate, ess
 
 
 def main():
-    baseline = cpu_baseline()
-    log(f"CPU single-chain baseline: {baseline:.2f} iters/s")
+    baseline, baseline_ess = cpu_baseline()
+    log(f"CPU single-chain baseline: {baseline:.2f} iters/s, "
+        f"ESS/s {baseline_ess if baseline_ess is not None else 'n/a'}")
     value, ess_per_s = measure(
         L_BENCH, NCHAINS, niter=int(os.environ.get("PXMCMC_BENCH_NITER", 20))
     )
@@ -263,6 +327,8 @@ def main():
     }
     if ess_per_s is not None:
         out["ess_per_s"] = round(ess_per_s, 2)
+        if baseline_ess:
+            out["ess_vs_baseline"] = round(ess_per_s / baseline_ess, 2)
     print(json.dumps(out))
 
 
