@@ -50,6 +50,19 @@ parser.add_argument("--ngap", type=int, default=int(5e2), help="Thinning gap.")
 parser.add_argument("--nchains", type=int, default=1,
                     help="Parallel chains (vmapped on device).")
 parser.add_argument("--seed", type=int, default=0, help="PRNG seed.")
+parser.add_argument("--nburn", type=int, default=0, help="Burn-in iterations.")
+parser.add_argument("--lmda", type=float, default=1e-6,
+                    help="Moreau-Yosida regularisation parameter.")
+parser.add_argument("--track", type=str,
+                    default="logposterior,L2,prior,chain",
+                    help="Comma list of tracked quantities; add 'summary' for "
+                         "device-side streaming mean/var/CI (production runs).")
+parser.add_argument("--checkpoint", type=str, default=None,
+                    help=".npz checkpoint path (resumes if it exists).")
+parser.add_argument("--checkpoint-every", type=int, default=None,
+                    help="Checkpoint cadence in saved samples.")
+parser.add_argument("--profile-dir", type=str, default=None,
+                    help="Capture a jax.profiler trace of one superblock.")
 
 
 def load_topo(infile, L):
@@ -127,15 +140,16 @@ def main(args):
 
     params = PxMCMCParams(
         nsamples=args.nsamples,
-        nburn=0,
+        nburn=args.nburn,
         ngap=args.ngap,
         delta=args.delta,
-        lmda=1e-6,
+        lmda=args.lmda,
         mu=args.mu,
         complex=False,
         verbosity=5e3,
         s=10,
         nchains=args.nchains,
+        track=tuple(t.strip() for t in args.track.split(",") if t.strip()),
     )
 
     regulariser = S2_Wavelets_L1(
@@ -157,7 +171,11 @@ def main(args):
     mcmc = algos[args.algo](forwardop, regulariser, params, seed=args.seed)
 
     NOW = datetime.datetime.now()
-    mcmc.run()
+    mcmc.run(
+        checkpoint_path=args.checkpoint,
+        checkpoint_every=args.checkpoint_every,
+        profile_dir=args.profile_dir,
+    )
 
     # Post-run convergence diagnostics (beyond-reference; SURVEY.md §5)
     if hasattr(mcmc, "chain"):

@@ -52,6 +52,8 @@ def _summary_from_payload(z):
 
 def save_checkpoint(path, state, key, j, tracking: dict, summary=None):
     """Atomically write a checkpoint npz."""
+    parent = os.path.dirname(os.path.abspath(path))
+    os.makedirs(parent, exist_ok=True)
     leaves, _ = _flatten_state(state)
     payload = {f"state_{i}": np.asarray(jax.device_get(x)) for i, x in enumerate(leaves)}
     payload["key_data"] = np.asarray(jax.random.key_data(key))

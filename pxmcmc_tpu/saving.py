@@ -49,6 +49,12 @@ def save_mcmc(mcmc, params, outpath, filename="outputs", **kwargs):
             )
         if getattr(mcmc, "deltas_trace", None) is not None:
             f.create_dataset("deltas", data=_squeeze_chain(mcmc.deltas_trace))
+        # track='summary' products (device-side streaming moments + P^2
+        # sketches; beyond-reference) — the production path for runs whose
+        # thinned chains would not fit host RAM
+        for name in ("posterior_mean", "posterior_var", "ci_range"):
+            if hasattr(mcmc, name):
+                f.create_dataset(name, data=np.asarray(getattr(mcmc, name)))
 
         for attr, val in params.__dict__.items():
             f.attrs[attr] = val
