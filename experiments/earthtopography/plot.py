@@ -48,6 +48,24 @@ evo.savefig(filename("evolution"))
 truth = load_topo(args.infile, L).reshape(mw_shape) / 1000
 plotting.plot_map(truth, title="Truth").savefig(filename("truth"))
 
+if "chain" not in data:
+    # track='summary' run: no stored chain — map the streamed posterior
+    # mean (mean commutes with the linear synthesis, so this is exact)
+    pm = np.asarray(data["posterior_mean"])
+    pm = pm.mean(axis=0) if pm.ndim == 2 else pm
+    mean = (
+        np.asarray(wvlttrans.inverse(pm)).real if setting == "synthesis" else pm.real
+    ).reshape(mw_shape)
+    plotting.plot_map(mean, title="Mean solution").savefig(filename("mean"))
+    diff_mean = truth - mean
+    cbar_end = max(abs(diff_mean.min()), diff_mean.max())
+    plotting.plot_map(diff_mean, title="True - mean", cmap="PuOr",
+                      vmin=-cbar_end, vmax=cbar_end).savefig(filename("diff_mean"))
+    print(f"Mean SNR: {float(snr(truth, diff_mean)):.2f} dB")
+    if args.save_npy:
+        np.save(filename("mean", "npy"), mean)
+    sys.exit(0)
+
 chain = data["chain"]
 if chain.ndim == 3:  # multi-chain run: fold chains into samples
     logpi = logpi.reshape(-1)
@@ -71,7 +89,12 @@ plotting.plot_chain_sample(MAP_wvlt).savefig(filename("MAP_wvlt"))
 
 samples = chain[args.burn:]
 if setting == "synthesis":
-    chain_pix = np.asarray(wvlttrans.inverse(samples)).real
+    # chunked synthesis: production chains (thousands of samples x 256-chain
+    # folds) would blow the single-call working set
+    chain_pix = np.concatenate([
+        np.asarray(wvlttrans.inverse(samples[i : i + 256])).real
+        for i in range(0, samples.shape[0], 256)
+    ])
 else:
     chain_pix = samples.real
 ci_range = uncertainty.credible_interval_range(chain_pix).reshape(mw_shape)
