@@ -142,7 +142,7 @@ def measure(L, nchains, niter, nrep=3):
         preds = preds_fn(captures0, X)
     else:
         preds = None
-    state = sampler._init_state(X, preds)
+    state = state0 = sampler._init_state(X, preds)
     step = sampler._build_step()
     captures = threader.get()
 
@@ -226,6 +226,10 @@ def measure(L, nchains, niter, nrep=3):
         delta_ess = 1.0 / (Lf + 1.0 / sampler.lmda)
         log(f"measured fidelity Lipschitz {Lf:.3e} -> tuned delta {delta_ess:.3e}")
         sampler.delta = float(delta_ess)
+        # restart from the initial state: the throughput phase runs at the
+        # nominal delta, which can exceed the stability bound for stiff
+        # configs (weaklensing) and blow the state up
+        state = state0
         if hasattr(state, "delta"):  # PxMALA: reset the per-chain tuned deltas
             state = dataclasses.replace(
                 state, delta=jnp.full_like(state.delta, delta_ess)
@@ -277,8 +281,10 @@ def cpu_baseline():
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
             cached = json.load(f)
-        if cached.get("L") == L_BENCH and "cpu_ess_per_s" in cached:
-            return cached["cpu_single_chain_iters_per_s"], cached["cpu_ess_per_s"]
+        ess_c = cached.get("cpu_ess_per_s")
+        if (cached.get("L") == L_BENCH and ess_c is not None
+                and ess_c == ess_c):  # nan-guard: re-measure bad caches
+            return cached["cpu_single_chain_iters_per_s"], ess_c
     log("measuring CPU single-chain baseline in subprocess...")
     code = (
         "import sys; sys.path.insert(0, %r)\n"
@@ -325,9 +331,11 @@ def main():
         "unit": "iterations/s",
         "vs_baseline": round(value / baseline, 2),
     }
-    if ess_per_s is not None:
+    import math
+
+    if ess_per_s is not None and math.isfinite(ess_per_s):
         out["ess_per_s"] = round(ess_per_s, 2)
-        if baseline_ess:
+        if baseline_ess and math.isfinite(baseline_ess):
             out["ess_vs_baseline"] = round(ess_per_s / baseline_ess, 2)
     print(json.dumps(out))
 
