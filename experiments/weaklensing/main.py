@@ -18,6 +18,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..")))
 
+from pxmcmc_tpu.config import to_device, to_host
 from pxmcmc_tpu.forward import ForwardOperator
 from pxmcmc_tpu.mcmc import MYULA, SKROCK, PxMALA, PxMCMCParams
 from pxmcmc_tpu.measurements import WeakLensing
@@ -61,8 +62,10 @@ def load_gammas(kappa_fits_file, L, wl: WeakLensing, seed=13):
                 flm[sht.elm2ind(el, m)] = a
                 flm[sht.elm2ind(el, -m)] = (-1) ** m * np.conj(a)
     flm = flm * _beam(L, sigma)
-    kappa_mw = np.asarray(sht.inverse(flm, basis)).reshape(-1)
-    return np.asarray(wl.forward(kappa_mw))
+    # complex values cross the host<->device boundary as stacked real planes
+    # (relayed TPU backends reject complex transfers; config.to_device/to_host)
+    kappa_mw = to_host(sht.inverse(to_device(flm), basis)).reshape(-1)
+    return to_host(wl.forward(np.real(kappa_mw)))
 
 
 def main(args):

@@ -63,3 +63,52 @@ def complex_dtype():
 
 def is_complex(x) -> bool:
     return jnp.issubdtype(jnp.asarray(x).dtype, jnp.complexfloating)
+
+
+# -- host<->device boundary -------------------------------------------------
+# Relayed TPU backends (axon) implement host<->device transfers for real
+# dtypes only: uploading or downloading a complex64 array raises
+# ``UNIMPLEMENTED: TPU backend error`` and poisons the client connection for
+# every subsequent transfer (measured on a v5e; this was the round-2/3
+# weaklensing failure).  Complex values therefore cross the boundary as two
+# real planes and are (re)combined on the side where they are used.  These
+# helpers are the ONLY sanctioned way to move possibly-complex data.
+
+
+def to_device(x, dtype=None):
+    """``jnp.asarray`` that never transfers complex bytes.
+
+    Complex input uploads as separate real/imag planes and recombines
+    on-device with ``lax.complex`` (device-side complex is fully supported;
+    only the transfer path is not).
+    """
+    import numpy as np
+
+    if isinstance(x, jax.Array):
+        return x if dtype is None else x.astype(dtype)
+    x_np = np.asarray(x)
+    if np.iscomplexobj(x_np):
+        cdt = jnp.dtype(dtype) if dtype is not None else jnp.dtype(complex_dtype())
+        rdt = jnp.float64 if cdt == jnp.complex128 else jnp.float32
+        re = jnp.asarray(np.ascontiguousarray(x_np.real), dtype=rdt)
+        im = jnp.asarray(np.ascontiguousarray(x_np.imag), dtype=rdt)
+        return jax.lax.complex(re, im)
+    return jnp.asarray(x_np, dtype=dtype)
+
+
+def to_host(x):
+    """``np.asarray`` that never transfers complex bytes (see above)."""
+    import numpy as np
+
+    if isinstance(x, jax.Array) and jnp.issubdtype(x.dtype, jnp.complexfloating):
+        re = np.asarray(jnp.real(x))
+        im = np.asarray(jnp.imag(x))
+        return re + 1j * im
+    return np.asarray(x)
+
+
+def device_get_safe(tree):
+    """``jax.device_get`` for pytrees with possibly-complex leaves."""
+    return jax.tree_util.tree_map(
+        lambda leaf: to_host(leaf) if isinstance(leaf, jax.Array) else leaf, tree
+    )

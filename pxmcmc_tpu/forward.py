@@ -13,7 +13,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from .config import complex_dtype, real_dtype
+from .config import complex_dtype, real_dtype, to_device
 from .measurements import Identity, PathIntegral
 from .ops.sampling import sample_length as mw_size
 from .transforms import SphericalWaveletTransform
@@ -36,7 +36,7 @@ class ForwardOperator:
         data = np.asarray(data)
         self.iscomplex = np.iscomplexobj(data)
         self._data_np = data  # host copy for fast-path table builds
-        self.data = jnp.asarray(
+        self.data = to_device(
             data, dtype=complex_dtype() if self.iscomplex else real_dtype()
         )
         self._build_inverse_covariance(sig_d)
@@ -89,7 +89,7 @@ class ForwardOperator:
                 raise ValueError("Covariance matrix should be square")
             inv = np.linalg.inv(sig_np)
             self._invcov_kind = "matrix"
-            self.invcov = jnp.asarray(
+            self.invcov = to_device(
                 inv, dtype=complex_dtype() if np.iscomplexobj(inv) else real_dtype()
             )
             return
@@ -104,7 +104,7 @@ class ForwardOperator:
         else:
             raise TypeError("sig_d must be a float scalar, vector or 2D matrix")
         self._invcov_np = 1.0 / var  # host copy for fast-path table builds
-        self.invcov = jnp.asarray(
+        self.invcov = to_device(
             self._invcov_np,
             dtype=complex_dtype() if np.iscomplexobj(var) else real_dtype(),
         )

@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .config import complex_dtype, real_dtype
+from .config import complex_dtype, device_get_safe, real_dtype, to_device
 
 __all__ = ["PxMCMCParams", "PxMCMC", "MYULA", "PxMALA", "SKROCK"]
 
@@ -214,7 +214,7 @@ class PxMCMC:
                 X = X + 1j * jax.random.laplace(k2, shape, dtype=real_dtype())
             X = X.astype(self._xdtype)
         else:
-            start_point = jnp.asarray(start_point)
+            start_point = to_device(start_point)
             if start_point.ndim == 1:
                 if start_point.shape[0] != n:
                     raise ValueError("Initial sample given has incorrect size")
@@ -390,8 +390,8 @@ class PxMCMC:
             if "summary" in self.track:
                 xb = recs["chain"] if "chain" in self.track else recs.pop("chain")
                 self._fold_summary(xb)
-            recs = jax.device_get(recs)
-            self._store_tracking(j, nblk, recs, jax.device_get(traces))
+            recs = device_get_safe(recs)
+            self._store_tracking(j, nblk, recs, device_get_safe(traces))
             j += nblk
             if self.verbosity > 0:
                 self._progress(j, recs)

@@ -14,7 +14,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from .config import complex_dtype, real_dtype
+from .config import complex_dtype, real_dtype, to_device
 from .ops import sht
 from .ops.sampling import sample_shape
 
@@ -79,7 +79,7 @@ class PathIntegral(Measurement):
             path_matrix = path_matrix.toarray()
         A = np.asarray(path_matrix)
         dtype = dtype or (complex_dtype() if np.iscomplexobj(A) else real_dtype())
-        self.A = jnp.asarray(A, dtype=dtype)
+        self.A = to_device(A, dtype=dtype)
         super().__init__(*A.shape)
 
     def forward(self, X):

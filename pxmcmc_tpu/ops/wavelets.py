@@ -38,6 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .. import config
 from ..config import real_dtype
 from . import sampling, sht
 
@@ -600,7 +601,9 @@ def get_directional_basis(
         scal_basis=sht.get_basis(bl0, spin, dtype=dtype, use_disk_cache=use_disk_cache),
         psi=tuple(psi),
         dir_bases=tuple(dir_bases),
-        Egamma=jnp.asarray(E, dtype=jnp.complex128 if dtype == jnp.float64 else jnp.complex64),
+        Egamma=config.to_device(
+            E, dtype=jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+        ),
         main=sht.get_basis(L, spin, dtype=dtype, use_disk_cache=use_disk_cache),
     )
     _DWB_CACHE[key] = dwb

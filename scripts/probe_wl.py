@@ -130,6 +130,69 @@ def main():
         timed("ForwardOperator.calc_gradg", fwd.calc_gradg, preds)
         return
 
+    # stacked-real fast-path stages (ops/lensing.py)
+    if STAGE in ("wl_fwd2", "wl_grad2", "wl_fid2", "wl_chain2"):
+        from pxmcmc_tpu.ops.lensing import (
+            build_wl_tables, wl_fidelity2, wl_forward2, wl_gradg2,
+        )
+
+        t = build_wl_tables(meas, fwd._data_np, fwd._invcov_np)
+        wb = transform.basis
+        if STAGE == "wl_fwd2":
+            timed("wl_forward2", lambda x: wl_forward2(x, wb, t), X)
+            return
+        preds2 = jax.jit(lambda x: wl_forward2(x, wb, t))(X)
+        sync(preds2)
+        if STAGE == "wl_grad2":
+            timed("wl_gradg2", lambda p: wl_gradg2(p, wb, t), preds2)
+            return
+        if STAGE == "wl_fid2":
+            timed("wl_fidelity2", lambda p: wl_fidelity2(p, t), preds2)
+            return
+        if STAGE == "wl_chain2":
+            timed(
+                "forward+grad+fid chain",
+                lambda x: wl_gradg2(wl_forward2(x, wb, t), wb, t)
+                + wl_fidelity2(wl_forward2(x, wb, t), t)[..., None],
+                X,
+            )
+            return
+
+    if STAGE == "prox":
+        from pxmcmc_tpu.mcmc import PxMCMCParams
+        from pxmcmc_tpu.prior import S2_Wavelets_L1
+
+        prior = S2_Wavelets_L1(
+            "synthesis", fwd.transform.inverse, fwd.transform.inverse_adjoint,
+            1e-12, L=L, B=B, J_min=J_min,
+        )
+        timed("prior.proxf", prior.proxf, X)
+        return
+
+    if STAGE == "scan5":
+        # 5-iteration scan over just the fast-path gradient + noise: the
+        # sampler step minus tracking/divergence machinery
+        from pxmcmc_tpu.ops.lensing import build_wl_tables, wl_forward2, wl_gradg2
+
+        t = build_wl_tables(meas, fwd._data_np, fwd._invcov_np)
+        wb = transform.basis
+
+        def body(x, key):
+            g = wl_gradg2(wl_forward2(x, wb, t), wb, t)
+            n = jax.random.normal(key, x.shape, x.dtype)
+            return x - 1e-6 * g + 1e-3 * n, ()
+
+        def blk(x, keys):
+            x, _ = jax.lax.scan(body, x, keys)
+            return x
+
+        keys = jax.random.split(jax.random.key(1), 5)
+        t0 = time.time()
+        out = jax.jit(blk)(X, keys)
+        v = sync(out)
+        print(f"scan5 fastpath: {time.time()-t0:.1f}s sum={v:.4g}", flush=True)
+        return
+
     if STAGE == "step":
         from pxmcmc_tpu.mcmc import MYULA, PxMCMCParams
         from pxmcmc_tpu.prior import S2_Wavelets_L1
@@ -147,7 +210,9 @@ def main():
         Xs = jnp.asarray(
             rng.laplace(size=(NCH, fwd.nparams)), dtype=jnp.float32
         )
-        preds = jax.jit(fwd.forward)(Xs) if sampler._needs_initial_preds else None
+        preds = (
+            jax.jit(fwd.forward_internal)(Xs) if sampler._needs_initial_preds else None
+        )
         if preds is not None:
             sync(preds)
         state = sampler._init_state(Xs, preds)
