@@ -71,3 +71,54 @@ def test_threaded_run_matches_constant_run(simpledata, L, B, J_min):
     b = _make(simpledata, L, B, J_min)
     b.run()
     assert np.allclose(a.chain, b.chain)
+
+
+class TestComplexBoundary:
+    """Complex values must never cross host<->device as complex bytes:
+    relayed TPU backends only implement real-dtype transfers (BENCH.md
+    round 3).  config.to_device/to_host are the sanctioned boundary."""
+
+    def test_to_device_complex_roundtrip(self, rng):
+        from pxmcmc_tpu.config import complex_dtype, to_device, to_host
+
+        x = rng.standard_normal(17) + 1j * rng.standard_normal(17)
+        d = to_device(x)
+        assert jax.numpy.iscomplexobj(d)
+        assert d.dtype == complex_dtype()
+        np.testing.assert_allclose(to_host(d), x.astype(np.complex128), rtol=1e-6)
+
+    def test_to_device_real_passthrough(self, rng):
+        from pxmcmc_tpu.config import to_device, to_host
+
+        x = rng.standard_normal(9)
+        np.testing.assert_allclose(to_host(to_device(x)), x, rtol=1e-6)
+
+    def test_device_get_safe_mixed_pytree(self, rng):
+        import jax.numpy as jnp
+
+        from pxmcmc_tpu.config import device_get_safe, to_device
+
+        tree = {
+            "c": to_device(rng.standard_normal(4) + 1j * rng.standard_normal(4)),
+            "r": jnp.arange(3.0),
+            "host": np.ones(2),
+            "none": None,
+        }
+        out = device_get_safe(tree)
+        assert isinstance(out["c"], np.ndarray) and np.iscomplexobj(out["c"])
+        assert isinstance(out["r"], np.ndarray)
+        assert out["none"] is None
+
+    def test_forward_operator_complex_data_device_built(self, rng):
+        """ForwardOperator's complex data/invcov must be device-constructed
+        (lax.complex of two real uploads), value-identical to the inputs."""
+        from pxmcmc_tpu.config import to_host
+        from pxmcmc_tpu.forward import ForwardOperator
+
+        data = rng.standard_normal(10) + 1j * rng.standard_normal(10)
+        fwd = ForwardOperator(data, 0.1, "synthesis", nparams=10)
+        np.testing.assert_allclose(to_host(fwd.data), data, rtol=1e-6)
+        # complex split-variance invcov (reference forward.py:81-82)
+        assert jax.numpy.iscomplexobj(fwd.invcov)
+        expected = 1.0 / (0.1 ** 2 / np.sqrt(2) * (1 + 1j))
+        np.testing.assert_allclose(to_host(fwd.invcov), expected, rtol=1e-6)
