@@ -67,6 +67,9 @@ def build_step(L, nchains, seed=0):
         nsamples=1, nburn=0, ngap=1, delta=1e-6, lmda=1e-6, mu=1,
         verbosity=0, nchains=nchains,
         fused_step=bool(int(os.environ.get("PXMCMC_BENCH_FUSED", "0"))),
+        # pyramid state layout (MYULA + Gram only; no-op elsewhere) — the
+        # per-scale state removes the gradient-assembly concatenate
+        pyramid_state=bool(int(os.environ.get("PXMCMC_BENCH_PYRAMID", "1"))),
     )
     setting = "analysis" if CONFIG == "earthtopography-analysis" else "synthesis"
     sampler_cls = PxMALA if CONFIG == "pxmala" else MYULA
@@ -158,8 +161,10 @@ def measure(L, nchains, niter, nrep=3):
     def sync(state):
         # On the tunnelled TPU backend block_until_ready can return before
         # remote execution finishes; a dependent scalar readback is the only
-        # reliable completion barrier.
-        return float(jax.numpy.sum(state.X[:, 0]))
+        # reliable completion barrier.  (The XLA program completes atomically,
+        # so one leaf of a pyramid state suffices.)
+        Xs = state.X if isinstance(state.X, jax.Array) else state.X[0]
+        return float(jax.numpy.sum(Xs[:, 0]))
 
     key = jax.random.key(42)
     keys = jax.random.split(key, niter)
@@ -249,7 +254,7 @@ def measure(L, nchains, niter, nrep=3):
 
             def step_rec(st, key):
                 st, _ = step_t(st, key)
-                return st, st.X[..., rec_idx]
+                return st, sampler._flatten_X(st.X)[..., rec_idx]
 
             return jax.lax.scan(step_rec, state, keys)
 

