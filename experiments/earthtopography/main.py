@@ -19,6 +19,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..")))
 
+from pxmcmc_tpu.config import to_device, to_host
 from pxmcmc_tpu.forward import SphericalWaveletTransformOperator
 from pxmcmc_tpu.mcmc import MYULA, SKROCK, PxMALA, PxMCMCParams
 from pxmcmc_tpu.ops import sampling, sht
@@ -90,7 +91,7 @@ def load_topo(infile, L):
             topo, _nside = healpix.read_healpix_fits(infile)
             flm = healpix.map2alm(topo, L)
         basis = sht.get_basis(L, 0)
-        return np.asarray(sht.inverse(flm, basis)).real.reshape(-1)
+        return to_host(sht.inverse(to_device(flm), basis)).real.reshape(-1)
     if os.path.exists(infile) and "_mw_" in infile:
         return np.load(infile).reshape(-1)
     if os.path.exists(infile):
@@ -106,7 +107,7 @@ def load_topo(infile, L):
             flm[sht.elm2ind(el, m)] = a
             flm[sht.elm2ind(el, -m)] = (-1) ** m * np.conj(a)
     basis = sht.get_basis(L, 0)
-    return np.asarray(sht.inverse(flm, basis)).real.reshape(-1)
+    return to_host(sht.inverse(to_device(flm), basis)).real.reshape(-1)
 
 
 def main(args):

@@ -11,6 +11,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..")))
 
+from pxmcmc_tpu.config import to_device, to_host
 from pxmcmc_tpu import plotting, uncertainty
 from pxmcmc_tpu.ops.sampling import sample_length, sample_shape
 from pxmcmc_tpu.saving import load_mcmc
@@ -54,7 +55,7 @@ if "chain" not in data:
     pm = np.asarray(data["posterior_mean"])
     pm = pm.mean(axis=0) if pm.ndim == 2 else pm
     mean = (
-        np.asarray(wvlttrans.inverse(pm)).real if setting == "synthesis" else pm.real
+        to_host(wvlttrans.inverse(pm)).real if setting == "synthesis" else pm.real
     ).reshape(mw_shape)
     plotting.plot_map(mean, title="Mean solution").savefig(filename("mean"))
     diff_mean = truth - mean
@@ -73,11 +74,11 @@ if chain.ndim == 3:  # multi-chain run: fold chains into samples
 MAP_idx = int(np.argmax(logpi))
 MAP_X = chain[MAP_idx]
 if setting == "synthesis":
-    MAP = np.asarray(wvlttrans.inverse(MAP_X)).real
+    MAP = to_host(wvlttrans.inverse(MAP_X)).real
     MAP_wvlt = np.copy(MAP_X)
 else:
     MAP = np.copy(MAP_X).real
-    MAP_wvlt = np.asarray(wvlttrans.forward(MAP_X))
+    MAP_wvlt = to_host(wvlttrans.forward(to_device(MAP_X)))
 MAP = MAP.reshape(mw_shape)
 plotting.plot_map(MAP, title="Maximum a posteriori solution").savefig(filename("MAP"))
 
@@ -92,7 +93,7 @@ if setting == "synthesis":
     # chunked synthesis: production chains (thousands of samples x 256-chain
     # folds) would blow the single-call working set
     chain_pix = np.concatenate([
-        np.asarray(wvlttrans.inverse(samples[i : i + 256])).real
+        to_host(wvlttrans.inverse(samples[i : i + 256])).real
         for i in range(0, samples.shape[0], 256)
     ])
 else:

@@ -22,6 +22,7 @@ from scipy import sparse
 
 sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..")))
 
+from pxmcmc_tpu.config import to_device, to_host
 from pxmcmc_tpu.forward import PathIntegralOperator
 from pxmcmc_tpu.mcmc import MYULA, SKROCK, PxMALA, PxMCMCParams
 from pxmcmc_tpu.ops import sht
@@ -63,7 +64,7 @@ def synthetic_dataset(L, npaths=500, seed=11):
             flm[sht.elm2ind(el, m)] = a
             flm[sht.elm2ind(el, -m)] = (-1) ** m * np.conj(a)
     basis = sht.get_basis(L, 0)
-    vel = np.asarray(sht.inverse(flm, basis)).real.reshape(-1)
+    vel = to_host(sht.inverse(to_device(flm), basis)).real.reshape(-1)
     A = build_path_matrix(start, stop, L)
     sig_d = np.full(npaths, 0.05)
     data = A @ vel + rng.normal(0, sig_d)

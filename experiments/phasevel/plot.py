@@ -13,6 +13,7 @@ from scipy import sparse
 
 sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..")))
 
+from pxmcmc_tpu.config import to_device, to_host
 from pxmcmc_tpu import plotting, uncertainty
 from pxmcmc_tpu.measurements import PathIntegral
 from pxmcmc_tpu.ops.sampling import sample_shape
@@ -56,7 +57,7 @@ if chain.ndim == 3:
 MAP_idx = int(np.argmax(logpi))
 MAP_X = chain[MAP_idx]
 MAP = (
-    np.asarray(wvlttrans.inverse(MAP_X)).real
+    to_host(wvlttrans.inverse(MAP_X)).real
     if setting == "synthesis"
     else MAP_X.real
 ).reshape(mw_shape)
@@ -65,7 +66,7 @@ plotting.plot_map(MAP, title="Maximum a posteriori solution",
 
 samples = chain[args.burn:]
 chain_pix = (
-    np.asarray(wvlttrans.inverse(samples)).real
+    to_host(wvlttrans.inverse(samples)).real
     if setting == "synthesis"
     else samples.real
 )
@@ -106,7 +107,7 @@ if os.path.exists(args.pathsfile) and os.path.exists(args.infile):
     pathint = PathIntegral(sparse.load_npz(args.pathsfile))
     data_obs = np.loadtxt(args.infile)[:, 4]
     for name, m in [("MAP", MAP), ("Mean", mean)]:
-        preds = np.asarray(pathint.forward(m.flatten()))
+        preds = to_host(pathint.forward(to_device(m.flatten())))
         r2e = (float(norm(preds - data_obs)) / float(norm(data_obs))) ** 2
         print(f"{name} R2E: {r2e:.2e}")
 

@@ -11,6 +11,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..")))
 
+from pxmcmc_tpu.config import to_device, to_host
 from pxmcmc_tpu import plotting, uncertainty
 from pxmcmc_tpu.measurements import WeakLensing
 from pxmcmc_tpu.ops.sampling import sample_shape
@@ -53,11 +54,11 @@ if chain.ndim == 3:
 MAP_idx = int(np.argmax(logpi))
 MAP_X = chain[MAP_idx]
 if setting == "synthesis":
-    MAP = np.asarray(wvlttrans.inverse(MAP_X)).real
+    MAP = to_host(wvlttrans.inverse(MAP_X)).real
     MAP_wvlt = np.copy(MAP_X)
 else:
     MAP = MAP_X.real
-    MAP_wvlt = np.asarray(wvlttrans.forward(MAP_X))
+    MAP_wvlt = to_host(wvlttrans.forward(to_device(MAP_X)))
 MAP = MAP.reshape(mw_shape)
 plotting.plot_map(MAP, title="Maximum a posteriori solution",
                   cmap="cividis").savefig(filename("MAP"))
@@ -65,7 +66,7 @@ plotting.plot_chain_sample(MAP_wvlt).savefig(filename("MAP_wvlt"))
 
 samples = chain[args.burn:]
 chain_pix = (
-    np.asarray(wvlttrans.inverse(samples)).real
+    to_host(wvlttrans.inverse(samples)).real
     if setting == "synthesis"
     else samples.real
 )
@@ -89,9 +90,9 @@ if args.truthfile and os.path.exists(args.truthfile):
     print(f"Mean SNR: {float(snr(truth[mask], diff_mean[mask])):.2f} dB")
 
     wl = WeakLensing(L, mask)
-    data_obs = np.asarray(wl.forward(truth.flatten()))
+    data_obs = to_host(wl.forward(to_device(truth.flatten())))
     for name, m in [("MAP", MAP), ("Mean", mean)]:
-        preds = np.asarray(wl.forward(m.flatten()))
+        preds = to_host(wl.forward(to_device(m.flatten())))
         r2e = (float(norm(preds - data_obs)) / float(norm(data_obs))) ** 2
         print(f"{name} R2E: {r2e:.2e}")
 

@@ -14,6 +14,7 @@ from contextlib import contextmanager
 import jax.numpy as jnp
 import numpy as np
 
+from .config import to_device  # noqa: F401  (complex-safe upload boundary)
 from .ops.sampling import (  # noqa: F401  (re-exports, reference utils.py:200-299)
     calc_pixel_areas,
     mw_map_weights,
@@ -84,9 +85,9 @@ def flatten_mlm(wav_lm, scal_lm):
     Reference: ``/root/reference/pxmcmc/utils.py:11-22`` (column-major flatten
     of multi-scale wavelet arrays; already-flat multires input passes through).
     """
-    wav_lm = jnp.asarray(wav_lm)
+    wav_lm = to_device(wav_lm)
     buff = wav_lm.T.ravel() if wav_lm.ndim > 1 else wav_lm.ravel()
-    return jnp.concatenate([jnp.asarray(scal_lm), buff])
+    return jnp.concatenate([to_device(scal_lm), buff])
 
 
 def expand_mlm(mlm, nscales=None, nscalcoefs=None, flatten_wavs=False):
@@ -94,7 +95,7 @@ def expand_mlm(mlm, nscales=None, nscalcoefs=None, flatten_wavs=False):
 
     Reference: ``/root/reference/pxmcmc/utils.py:25-52``.
     """
-    mlm = jnp.asarray(mlm)
+    mlm = to_device(mlm)
     if nscales is None and nscalcoefs is None:
         raise ValueError("Set either 'nscales', or 'nscalcoefs'")
     if nscales is not None and nscalcoefs is not None:
