@@ -98,6 +98,7 @@ def main(args):
         complex=False,
         verbosity=1e3,
         nchains=args.nchains,
+        pyramid_state=args.pyramid,
     )
 
     prior = S2_Wavelets_L1(
@@ -163,4 +164,7 @@ if __name__ == "__main__":
     parser.add_argument("--nburn", type=int, default=0)
     parser.add_argument("--nchains", type=int, default=1)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--pyramid", action="store_true",
+                        help="Per-scale pyramid state layout (faster steps; "
+                             "different noise stream).")
     main(parser.parse_args())

@@ -175,6 +175,25 @@ class ForwardOperator:
             return wl_gradg2(preds, self.transform.basis, self._wl)
         return self.calc_gradg(preds)
 
+    # -- per-scale-block (pyramid state) forms --------------------------------
+    def _blocks_ok(self) -> bool:
+        """Whether forward/gradg have per-scale-block forms (pyramid state)."""
+        return self._wl_fast_ok()
+
+    def forward_internal_blocks(self, blocks):
+        """Predictions from a per-scale coefficient tuple (pyramid state)."""
+        if self._wl_fast_ok() and not hasattr(self, "_wl"):
+            self.prepare()
+        from .ops.lensing import wl_forward2_blocks
+
+        return wl_forward2_blocks(blocks, self.transform.basis, self._wl)
+
+    def gradg_internal_blocks(self, preds):
+        """Fidelity gradient as a per-scale coefficient tuple (pyramid state)."""
+        from .ops.lensing import wl_gradg2_blocks
+
+        return wl_gradg2_blocks(preds, self.transform.basis, self._wl)
+
     def fidelity_internal(self, preds):
         if self._use_wl(preds):
             from .ops.lensing import wl_fidelity2

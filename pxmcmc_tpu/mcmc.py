@@ -176,11 +176,6 @@ class PxMCMC:
         self._gram_b = self._cast(tr.inverse_adjoint(y_weighted))
         if self._pyramid_ok():
             self._gram_b_blocks = self._split_X(self._gram_b)
-            # per-scale threshold views (scalar T broadcasts untouched)
-            T = self.prior.T
-            self._T_blocks = (
-                self._split_X(T) if isinstance(T, jax.Array) and T.ndim else None
-            )
 
     def _gram_gradg(self, X):
         from .ops.wavelets import gram_gradient_real
@@ -626,7 +621,11 @@ class MYULA(PxMCMC):
 
         return (
             getattr(self, "pyramid_state", False)
-            and self._gram_ok()
+            and (
+                self._gram_ok()
+                or getattr(self.forward, "_blocks_ok", lambda: False)()
+            )
+            and not self.complex
             and not self._can_fuse()
             and isinstance(self.prior, L1)
             and self.prior.setting == "synthesis"
@@ -635,7 +634,9 @@ class MYULA(PxMCMC):
 
     def _init_state(self, X, preds):
         if self._pyramid_ok():
-            return ChainState(X=self._split_X(X), preds=None)
+            return ChainState(
+                X=self._split_X(X), preds=None if self._gram_ok() else preds
+            )
         if self._gram_ok():
             return ChainState(X=X, preds=None)
         return ChainState(X=X, preds=preds)
@@ -668,20 +669,30 @@ class MYULA(PxMCMC):
         if self._pyramid_ok():
             from .utils import soft
 
+            # trace-time reads: T threads through the capture machinery; the
+            # per-scale views are loop-invariant slices (never cached on self
+            # — _build_step may run inside an outer trace)
+            T = self.prior.T
+            T_blocks = (
+                self._split_X(T) if isinstance(T, jax.Array) and T.ndim else None
+            )
+
             def step_pyr(state, key):
-                gradg = self._gram_gradg_blocks(state.X)
+                gradg = (
+                    self._gram_gradg_blocks(state.X)
+                    if gram
+                    else self.forward.gradg_internal_blocks(state.preds)
+                )
                 Xn = []
                 for i, (x, g) in enumerate(zip(state.X, gradg)):
-                    T = (
-                        self._T_blocks[i]
-                        if self._T_blocks is not None
-                        else self.prior.T
-                    )
+                    Ti = T_blocks[i] if T_blocks is not None else T
                     w = jax.random.normal(
                         jax.random.fold_in(key, i), x.shape, x.dtype
                     )
-                    Xn.append(self.chain_step(x, soft(x, T), g, w))
-                return ChainState(X=tuple(Xn), preds=None), ()
+                    Xn.append(self.chain_step(x, soft(x, Ti), self._cast(g), w))
+                Xn = tuple(Xn)
+                preds = None if gram else self.forward.forward_internal_blocks(Xn)
+                return ChainState(X=Xn, preds=preds), ()
 
             return step_pyr
 

@@ -40,13 +40,20 @@ import numpy as np
 
 from ..config import real_dtype
 from . import sht
-from .wavelets import WaveletBasis, adjoint_scales_grid2, synthesis_grid2
+from .wavelets import (
+    WaveletBasis,
+    _split_scales,
+    adjoint_scales_grid2_blocks,
+    synthesis_grid2_blocks,
+)
 
 __all__ = [
     "WLTables",
     "build_wl_tables",
     "wl_forward2",
+    "wl_forward2_blocks",
     "wl_gradg2",
+    "wl_gradg2_blocks",
     "wl_fidelity2",
     "wl_preds_complex",
 ]
@@ -151,19 +158,41 @@ def _mirror_full2_T(H2: jax.Array, sign_m: jax.Array) -> jax.Array:
     return jnp.concatenate([pos[..., :1, :], pos[..., 1:, :] + add], axis=-2)
 
 
+def wl_forward2_blocks(blocks, wb: WaveletBasis, t: WLTables) -> jax.Array:
+    """Per-scale-block form of :func:`wl_forward2` (pyramid state layout:
+    the coefficient pyramid arrives as a tuple of per-scale segments)."""
+    G2 = synthesis_grid2_blocks(blocks, wb)
+    G2 = G2 * t.kernel_l
+    F2 = _mirror_full2(G2, t.sign_m)
+    T2 = sht._mm(t.lam2, F2, "mtl,...ml->...mt")
+    g2 = sht.phi_synth_full2(T2, wb.main)
+    g2 = g2.reshape(g2.shape[:-2] + (-1,))
+    return g2 * t.weight
+
+
+def wl_gradg2_blocks(preds2: jax.Array, wb: WaveletBasis, t: WLTables) -> tuple:
+    """Per-scale-block form of :func:`wl_gradg2`: returns the gradient as a
+    tuple of per-scale segments (no concatenate in the hot loop)."""
+    r2 = _weighted_residual2(preds2, t)
+    g2 = r2.reshape(r2.shape[:-1] + (t.L, 2 * t.L - 1))
+    T2 = sht.phi_analysis_full2(g2, wb.main, 1.0)
+    F2 = sht._mm(t.lam2, T2, "mtl,...mt->...ml")
+    G2 = _mirror_full2_T(F2, t.sign_m) * t.kernel_l
+    # adjoint_scales_grid2's phi stage carries the half-spectrum doubling
+    # weights (c_m = 2 for m > 0) that substitute for the +/-m pair the
+    # half grid drops; the mirror transpose above accounts for that pair
+    # explicitly, so un-double to get the exact real-linear transpose.
+    half = jnp.ones((t.L,), dtype=G2.dtype).at[1:].set(0.5)
+    return adjoint_scales_grid2_blocks(G2 * half[:, None], wb)
+
+
 def wl_forward2(X: jax.Array, wb: WaveletBasis, t: WLTables) -> jax.Array:
     """Real wavelet pyramid (..., ncoefs) -> weighted shear (..., 2, npix).
 
     Equals ``measurement.forward(transform.inverse(X))`` (re/im stacked) for
     real X — the full reference forward model (``measurements.py:201-218``).
     """
-    G2 = synthesis_grid2(X, wb)  # (..., 2, L, L) klm half grid
-    G2 = G2 * t.kernel_l
-    F2 = _mirror_full2(G2, t.sign_m)  # (..., 2, 2L-1, L)
-    T2 = sht._mm(t.lam2, F2, "mtl,...ml->...mt")
-    g2 = sht.phi_synth_full2(T2, wb.main)  # (..., 2, L, 2L-1)
-    g2 = g2.reshape(g2.shape[:-2] + (-1,))
-    return g2 * t.weight
+    return wl_forward2_blocks(_split_scales(X, wb), wb, t)
 
 
 def _weighted_residual2(preds2: jax.Array, t: WLTables) -> jax.Array:
@@ -185,17 +214,7 @@ def wl_gradg2(preds2: jax.Array, wb: WaveletBasis, t: WLTables) -> jax.Array:
     (`/root/reference/pxmcmc/forward.py:66-72`) — as the stage-by-stage
     real-linear transpose of :func:`wl_forward2`.
     """
-    r2 = _weighted_residual2(preds2, t)
-    g2 = r2.reshape(r2.shape[:-1] + (t.L, 2 * t.L - 1))  # (..., 2, t, p)
-    T2 = sht.phi_analysis_full2(g2, wb.main, 1.0)
-    F2 = sht._mm(t.lam2, T2, "mtl,...mt->...ml")
-    G2 = _mirror_full2_T(F2, t.sign_m) * t.kernel_l
-    # adjoint_scales_grid2's phi stage carries the half-spectrum doubling
-    # weights (c_m = 2 for m > 0) that substitute for the +/-m pair the
-    # half grid drops; the mirror transpose above accounts for that pair
-    # explicitly, so un-double to get the exact real-linear transpose.
-    half = jnp.ones((t.L,), dtype=G2.dtype).at[1:].set(0.5)
-    return adjoint_scales_grid2(G2 * half[:, None], wb)
+    return jnp.concatenate(wl_gradg2_blocks(preds2, wb, t), axis=-1)
 
 
 def wl_fidelity2(preds2: jax.Array, t: WLTables) -> jax.Array:

@@ -96,8 +96,7 @@ def test_pyramid_run_end_to_end(simpledata, L, B, J_min, tmp_path):
     _np.testing.assert_allclose(s2.chain, s.chain, rtol=1e-10)
 
 
-def test_pyramid_off_for_non_gram_models(L, B, J_min, rng):
-    """WeakLensing (no Gram path) ignores pyramid_state — still runs."""
+def _wl_sampler(L, B, J_min, rng, pyramid):
     from pxmcmc_tpu.forward import ForwardOperator
     from pxmcmc_tpu.measurements import WeakLensing
     from pxmcmc_tpu.transforms import SphericalWaveletTransform
@@ -114,11 +113,74 @@ def test_pyramid_off_for_non_gram_models(L, B, J_min, rng):
     )
     params = PxMCMCParams(
         nsamples=2, nburn=0, ngap=1, verbosity=0, lmda=1e-6, delta=1e-8,
-        nchains=2, pyramid_state=True,
+        nchains=2, pyramid_state=pyramid,
     )
     prior = S2_Wavelets_L1(
         "synthesis", tr.inverse, tr.inverse_adjoint, params.lmda,
         L=L, B=B, J_min=J_min,
+    )
+    return MYULA(fwd, prior, params)
+
+
+def test_pyramid_weaklensing_step_equals_manual(L, B, J_min, rng):
+    """WL fast path with pyramid state: gradient/forward block forms match
+    the flat stacked-real chain exactly; one step == the manual update."""
+    s = _wl_sampler(L, B, J_min, rng, pyramid=True)
+    s._prepare()
+    assert s._pyramid_ok() and not s._gram_ok()
+    X = jnp.asarray(rng.standard_normal((2, s.forward.nparams)))
+    preds = s.forward.forward_internal(X)
+    np.testing.assert_allclose(
+        np.asarray(s.forward.forward_internal_blocks(s._split_X(X))),
+        np.asarray(preds), rtol=1e-10, atol=1e-12,
+    )
+    state = s._init_state(X, preds)
+    assert isinstance(state.X, tuple) and state.preds is not None
+    key = jax.random.key(3)
+    out, _ = jax.jit(s._build_step())(state, key)
+
+    gradg = s._cast(s.forward.gradg_internal(preds))
+    proxf = s.prior.proxf(X)
+    w = jnp.concatenate(
+        [
+            jax.random.normal(jax.random.fold_in(key, i), x.shape, x.dtype)
+            for i, x in enumerate(state.X)
+        ],
+        axis=-1,
+    )
+    expected = s.chain_step(X, proxf, gradg, w)
+    np.testing.assert_allclose(
+        np.asarray(s._flatten_X(out.X)), np.asarray(expected),
+        rtol=1e-10, atol=1e-12,
+    )
+    # carried predictions equal the forward of the new state
+    np.testing.assert_allclose(
+        np.asarray(out.preds),
+        np.asarray(s.forward.forward_internal(expected)), rtol=1e-8, atol=1e-10,
+    )
+
+
+def test_pyramid_weaklensing_run(L, B, J_min, rng):
+    s = _wl_sampler(L, B, J_min, rng, pyramid=True)
+    s.run()
+    assert np.isfinite(s.logPi).all()
+
+
+def test_pyramid_off_for_analysis_setting(simpledata, L, B, J_min):
+    """Analysis-setting priors have no per-scale soft threshold — the flag
+    is ignored and the flat layout runs."""
+    from pxmcmc_tpu.forward import SphericalWaveletTransformOperator
+
+    fwd = SphericalWaveletTransformOperator(
+        simpledata, 0.1, "analysis", L, B, J_min
+    )
+    params = PxMCMCParams(
+        nsamples=2, nburn=0, ngap=1, verbosity=0, lmda=1e-6, delta=1e-8,
+        nchains=2, pyramid_state=True,
+    )
+    prior = S2_Wavelets_L1(
+        "analysis", fwd.transform.inverse, fwd.transform.inverse_adjoint,
+        params.lmda, L=L, B=B, J_min=J_min,
     )
     s = MYULA(fwd, prior, params)
     assert not s._pyramid_ok()
