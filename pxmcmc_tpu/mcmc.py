@@ -311,9 +311,10 @@ class PxMCMC:
         superblocks only) hold throughput observability data.
 
         With ``"summary"`` in ``track``, posterior mean / variance / credible
-        -interval range per (chain, parameter) are accumulated **on device**
-        (running moments + P^2 quantile sketches; no chain storage) and land
-        in ``posterior_mean`` / ``posterior_var`` / ``ci_range`` — the
+        -interval range per parameter (pooled across chains — they sample
+        the same posterior) are accumulated **on device** (running moments +
+        P^2 quantile sketches; no chain storage) and land in
+        ``posterior_mean`` / ``posterior_var`` / ``ci_range`` — the
         production path for runs too large to keep thinned chains.  Summary
         state rides checkpoints, so summary runs resume exactly.
         """
@@ -390,8 +391,16 @@ class PxMCMC:
 
         # sampling in superblocks
         self._alloc_tracking()
+        # auto superblock: bound the on-device record buffer
+        # (nblk x nchains x nparams) to ~8e6 values (32 MB f32) — the chain
+        # dimension counts (a 256-chain L=256 run OOMed the round-3
+        # production attempt when it did not)
         block = superblock or max(
-            1, min(self.nsamples, int(4e6) // max(self.forward.nparams, 1) + 1)
+            1,
+            min(
+                self.nsamples,
+                int(8e6) // max(self.forward.nparams * self.nchains, 1) + 1,
+            ),
         )
         key, sample_key = jax.random.split(key)
         j = 0
@@ -467,13 +476,21 @@ class PxMCMC:
     def _fold_summary(self, xb):
         """Fold a block of recorded samples into the device-side summary.
 
-        Blocks are buffered until 5 records exist (the P^2 sketches need 5
+        Chains sample the same posterior, so the summary pools them: the
+        (nrec, nchains, nparams) block enters the running moments and P^2
+        sketches as nrec*nchains observations per parameter.  Pooling is
+        also what keeps the sketch state O(nparams): per-(chain, param)
+        sketches cost 12 GB at the production scale (256 chains x 4e5
+        params) and OOM a v5e (round-3 production run).
+
+        Observations are buffered until 5 exist (the P^2 sketches need 5
         seeds), so ``track='summary'`` works at any superblock size — the
         auto block shrinks below 5 exactly for the large-nparams runs the
         summary path exists for (round-1 VERDICT weak #7).
         """
         from .diagnostics import summary_init, summary_update
 
+        xb = xb.reshape((-1,) + xb.shape[2:])  # pool chains
         if getattr(self, "_summary", None) is None:
             pend = getattr(self, "_summary_pending", None)
             if pend is not None:
