@@ -93,6 +93,13 @@ def to_device(x, dtype=None):
         re = jnp.asarray(np.ascontiguousarray(x_np.real), dtype=rdt)
         im = jnp.asarray(np.ascontiguousarray(x_np.imag), dtype=rdt)
         return jax.lax.complex(re, im)
+    if dtype is not None and jnp.issubdtype(jnp.dtype(dtype), jnp.complexfloating):
+        # real input, complex dtype requested: upload the real plane only and
+        # widen on device (jnp.asarray would convert host-side and upload
+        # complex bytes, breaking this function's contract)
+        rdt = jnp.float64 if jnp.dtype(dtype) == jnp.complex128 else jnp.float32
+        re = jnp.asarray(x_np, dtype=rdt)
+        return jax.lax.complex(re, jnp.zeros_like(re))
     return jnp.asarray(x_np, dtype=dtype)
 
 

@@ -413,7 +413,18 @@ class PxMCMC:
             for name, arr in tracking.items():
                 getattr(self, name)[: arr.shape[0]] = arr
             if summary is not None:
-                self._summary = summary.get("state")
+                st = summary.get("state")
+                if st is not None and st["mean"].ndim != 1:
+                    # pre-round-4 checkpoints carried per-chain summaries of
+                    # shape (nchains, nparams); the summary now pools chains
+                    # (O(nparams) memory — see _fold_summary).  Resuming one
+                    # into the pooled accumulator would mis-broadcast.
+                    raise ValueError(
+                        "checkpoint holds a per-chain summary (shape "
+                        f"{st['mean'].shape}) from an older version; rerun "
+                        "from scratch or post-process the old checkpoint"
+                    )
+                self._summary = st
                 self._summary_pending = summary.get("pending")
         next_ckpt = j + (checkpoint_every or block)
         t_start = time.time()

@@ -14,6 +14,8 @@ import os
 import jax
 import numpy as np
 
+from ..config import to_device, to_host
+
 _META = "__meta__"
 
 
@@ -30,7 +32,10 @@ def _summary_to_payload(summary) -> dict:
         return out
     for kp, leaf in jax.tree_util.tree_flatten_with_path(summary)[0]:
         name = "/".join(str(k.key) for k in kp)
-        out[f"summary/{name}"] = np.asarray(jax.device_get(leaf))
+        # to_host: complex leaves must cross the boundary as real planes
+        # (config.py — a raw device_get of complex bytes poisons relayed
+        # TPU clients)
+        out[f"summary/{name}"] = to_host(leaf)
     return out
 
 
@@ -46,7 +51,7 @@ def _summary_from_payload(z):
         d = root
         for p in parts[:-1]:
             d = d.setdefault(p, {})
-        d[parts[-1]] = jax.numpy.asarray(z[full])
+        d[parts[-1]] = to_device(z[full])
     return root
 
 
@@ -55,7 +60,7 @@ def save_checkpoint(path, state, key, j, tracking: dict, summary=None):
     parent = os.path.dirname(os.path.abspath(path))
     os.makedirs(parent, exist_ok=True)
     leaves, _ = _flatten_state(state)
-    payload = {f"state_{i}": np.asarray(jax.device_get(x)) for i, x in enumerate(leaves)}
+    payload = {f"state_{i}": to_host(x) for i, x in enumerate(leaves)}
     payload["key_data"] = np.asarray(jax.random.key_data(key))
     for name, arr in tracking.items():
         payload[f"track_{name}"] = arr
@@ -82,7 +87,7 @@ def load_checkpoint(path, state_template):
         new_leaves = []
         for i, tmpl in enumerate(leaves):
             arr = z[f"state_{i}"]
-            x = jax.numpy.asarray(arr, dtype=tmpl.dtype)
+            x = to_device(arr, dtype=tmpl.dtype)
             if hasattr(tmpl, "sharding"):
                 x = jax.device_put(x, tmpl.sharding)
             new_leaves.append(x)

@@ -91,6 +91,35 @@ def test_checkpoint_resume(fwd_prox, tmp_path):
     assert np.allclose(resumed.chain[:12], part.chain[:12])
 
 
+def test_checkpoint_resume_complex_state(simpledata, tmp_path):
+    """Checkpointing a complex chain state round-trips through the sanctioned
+    complex boundary (config.to_host / to_device): on relayed TPU backends a
+    raw device_get/asarray of complex leaves raises UNIMPLEMENTED and poisons
+    the client (ADVICE round 3), so save/load must never move complex bytes."""
+    n = len(simpledata)
+    data = np.asarray(simpledata) + 1j * np.asarray(simpledata)[::-1]
+    fwd = ForwardOperator(
+        data, 0.1, "synthesis", IdentityTransform(), Identity(n, n), nparams=n
+    )
+    prox = L1("synthesis", None, None, 1)
+    ck = os.path.join(str(tmp_path), "ck_cplx.npz")
+    params = PxMCMCParams(
+        nsamples=6, nburn=1, ngap=1, verbosity=0, nchains=2, complex=True
+    )
+
+    full = MYULA(fwd, prox, params, seed=5)
+    full.run()
+    assert np.iscomplexobj(full.chain)
+
+    part = MYULA(fwd, prox, params, seed=5)
+    part.nsamples = 3
+    part.run(checkpoint_path=ck, checkpoint_every=3, superblock=3)
+
+    resumed = MYULA(fwd, prox, params, seed=5)
+    resumed.run(checkpoint_path=ck, superblock=3)
+    np.testing.assert_allclose(resumed.chain, full.chain, rtol=1e-10)
+
+
 def test_device_diagnostics_match_host_numpy():
     """Sharded device-side ESS / split-R-hat / CI reductions (shard_map +
     psum/all_gather over the chains axis) equal the host numpy versions."""

@@ -75,25 +75,33 @@ def test_pyramid_step_equals_manual_flat(simpledata, L, B, J_min, rng):
 
 
 def test_pyramid_run_end_to_end(simpledata, L, B, J_min, tmp_path):
-    """Full run() with tracking, summary and checkpoint resume."""
+    """Full run() with tracking + summary; mid-run checkpoint resume of the
+    pyramid tuple state reproduces an uninterrupted run exactly."""
+    track = ["logposterior", "L2", "prior", "chain", "summary"]
+
+    # uninterrupted 4-sample run (the oracle)
     s = _sampler(simpledata, L, B, J_min, pyramid=True)
-    s.track = ["logposterior", "L2", "prior", "chain", "summary"]
-    ckpt = str(tmp_path / "ck.npz")
-    s.run(checkpoint_path=ckpt, checkpoint_every=2)
+    s.track = track
+    s.run()
     assert np.isfinite(s.logPi).all()
     assert s.chain.shape == (4, 3, s.forward.nparams)
     assert s.posterior_mean.shape[-1] == s.forward.nparams
 
-    # resume reproducibility: restart from the mid-run checkpoint and check
-    # the tail of the chain is reproduced exactly
-    import numpy as _np
+    # first half: stop after 2 samples, leaving a mid-run checkpoint
+    ckpt = str(tmp_path / "ck.npz")
+    s1 = _sampler(simpledata, L, B, J_min, pyramid=True)
+    s1.track = track
+    s1.nsamples = 2
+    s1.run(checkpoint_path=ckpt, checkpoint_every=2, superblock=2)
+    np.testing.assert_allclose(s1.chain, s.chain[:2], rtol=1e-10)
 
-    with np.load(ckpt) as z:
-        pass  # checkpoint written at the end; rerun resumes as a no-op
+    # second half: resume the pyramid tuple state through load_checkpoint's
+    # template-driven leaf restore and finish the run
     s2 = _sampler(simpledata, L, B, J_min, pyramid=True)
-    s2.track = ["logposterior", "L2", "prior", "chain", "summary"]
-    s2.run()
-    _np.testing.assert_allclose(s2.chain, s.chain, rtol=1e-10)
+    s2.track = track
+    s2.run(checkpoint_path=ckpt, superblock=2)
+    np.testing.assert_allclose(s2.chain, s.chain, rtol=1e-10)
+    np.testing.assert_allclose(s2.posterior_mean, s.posterior_mean, rtol=1e-8)
 
 
 def _wl_sampler(L, B, J_min, rng, pyramid):
