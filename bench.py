@@ -67,7 +67,8 @@ def build_step(L, nchains, seed=0):
         nsamples=1, nburn=0, ngap=1, delta=1e-6, lmda=1e-6, mu=1,
         verbosity=0, nchains=nchains,
         fused_step=bool(int(os.environ.get("PXMCMC_BENCH_FUSED", "0"))),
-        # pyramid state layout (MYULA + Gram only; no-op elsewhere) — the
+        # pyramid state layout (MYULA/PxMALA/SKROCK on the Gram or WL fast
+        # paths; the analysis setting gets the block prox regardless) — the
         # per-scale state removes the gradient-assembly concatenate
         pyramid_state=bool(int(os.environ.get("PXMCMC_BENCH_PYRAMID", "1"))),
     )
@@ -241,20 +242,44 @@ def measure(L, nchains, niter, nrep=3):
             )
 
         nrec = min(4096, sampler.forward.nparams)
-        rec_idx = jnp.asarray(
-            np.sort(
-                np.random.default_rng(123).choice(
-                    sampler.forward.nparams, size=nrec, replace=False
-                )
+        rec_idx_np = np.sort(
+            np.random.default_rng(123).choice(
+                sampler.forward.nparams, size=nrec, replace=False
             )
         )
+        rec_idx = jnp.asarray(rec_idx_np)
+        # pyramid state: pre-split the sorted subset into per-scale local
+        # index vectors so the recorder gathers per block — no per-step
+        # flatten of the full state (round-3 VERDICT #4: the ESS segment's
+        # flatten erased the pyramid layout's gain)
+        pyr_idx = None
+        if sampler._pyramid_ok():
+            sizes = [
+                int(b.shape[-1])
+                for b in sampler._split_X(np.zeros(sampler.forward.nparams))
+            ]
+            bounds = np.cumsum([0] + sizes)
+            pyr_idx = [
+                jnp.asarray(
+                    rec_idx_np[(rec_idx_np >= lo) & (rec_idx_np < hi)] - lo
+                )
+                for lo, hi in zip(bounds[:-1], bounds[1:])
+            ]
+
+        def _record_subset(X):
+            if isinstance(X, jax.Array):
+                return X[..., rec_idx]
+            parts = [
+                x[..., idx] for x, idx in zip(X, pyr_idx) if idx.size > 0
+            ]
+            return jnp.concatenate(parts, axis=-1)
 
         def _block_rec(state, keys):
             step_t = sampler._build_step()  # re-trace with the tuned delta
 
             def step_rec(st, key):
                 st, _ = step_t(st, key)
-                return st, sampler._flatten_X(st.X)[..., rec_idx]
+                return st, _record_subset(st.X)
 
             return jax.lax.scan(step_rec, state, keys)
 

@@ -62,11 +62,13 @@ class PxMCMCParams:
         sample streams differ from (but are identically distributed to) the
         default path
     :param pyramid_state: carry the coefficient pyramid as a tuple of
-        per-scale arrays instead of one flat vector (MYULA + Gram fast path
-        only).  Removes the per-step concatenate / flat-vector slicing from
-        the hot loop (~15% of the step in the round-3 profiler trace);
-        sample streams differ from (but are identically distributed to) the
-        flat layout because noise is drawn per scale
+        per-scale arrays instead of one flat vector (MYULA, PxMALA and
+        SKROCK on the Gram and weak-lensing fast paths).  Removes the
+        per-step concatenate / flat-vector slicing from the hot loop (~15%
+        of the step in the round-3 profiler trace); the default since round
+        4.  Sample streams differ from (but are identically distributed to)
+        the flat layout because noise is drawn per scale; set False for the
+        flat layout's streams
     """
 
     def __init__(
@@ -83,7 +85,7 @@ class PxMCMCParams:
         track=("logposterior", "L2", "prior", "chain"),
         nchains=1,
         fused_step=False,
-        pyramid_state=False,
+        pyramid_state=True,
     ):
         self.lmda = lmda
         self.delta = delta
@@ -190,11 +192,111 @@ class PxMCMC:
     # gradient and misaligned slices to split X — ~15% of the MYULA step in
     # the round-3 profiler trace.  With ``pyramid_state=True`` the state is
     # the tuple of per-scale segments; flattening happens only at record
-    # (thinning) points.  Opt-in because the per-scale noise draws change
-    # the sample stream (identically distributed, different numbers).
+    # (thinning) points — and chain/summary records stay per-block until the
+    # host-copy boundary, so the gain survives recorded runs.  The per-scale
+    # noise draws change the sample stream (identically distributed).
 
     def _pyramid_ok(self) -> bool:
-        return False  # opted into by samplers that implement a pyramid step
+        """Whether this sampler runs the per-scale-block (pyramid) state.
+
+        Shared model-side conditions; samplers add their own (MYULA
+        excludes the fused Pallas step, PxMALA needs a block form of the
+        prior value).  Requires a real chain, a model with block-form
+        gradients (Gram fast path or an operator advertising ``_blocks_ok``),
+        and a plain soft-threshold synthesis prior.
+        """
+        from .prior import L1
+
+        return (
+            getattr(self, "pyramid_state", False)
+            and not self.complex
+            and (
+                self._gram_ok()
+                or getattr(self.forward, "_blocks_ok", lambda: False)()
+            )
+            and isinstance(self.prior, L1)
+            and self.prior.setting == "synthesis"
+            and type(self.prior).proxf is L1.proxf  # plain soft threshold
+        )
+
+    def _pyr_prox_fn(self):
+        """blocks -> soft-thresholded blocks, with the (possibly vector)
+        threshold split per scale.  Called at trace time: the per-scale views
+        are loop-invariant slices of the capture-threaded T."""
+        from .utils import soft
+
+        T = self.prior.T
+        T_blocks = self._split_X(T) if isinstance(T, jax.Array) and T.ndim else None
+
+        def prox(blocks):
+            return tuple(
+                soft(x, T_blocks[i] if T_blocks is not None else T)
+                for i, x in enumerate(blocks)
+            )
+
+        return prox
+
+    def _pyr_prior_kind(self):
+        """'plain' | 'weighted' | None — whether the prior value has an exact
+        per-block form (sum of per-scale weighted-L1 partial sums)."""
+        from .prior import L1, S2_Wavelets_L1, S2_Wavelets_L1_Power_Weights
+
+        p = type(self.prior).prior
+        if p is L1.prior:
+            return "plain"
+        if p in (S2_Wavelets_L1.prior, S2_Wavelets_L1_Power_Weights.prior):
+            return "weighted"
+        return None
+
+    def _pyr_prior_fn(self):
+        """blocks -> per-chain prior value, or None if no block form exists.
+
+        Partial sums accumulate per scale, so values match the flat
+        ``prior.prior`` up to summation order (same math, different
+        rounding).  Called at trace time (see :meth:`_pyr_prox_fn`).
+        """
+        kind = self._pyr_prior_kind()
+        if kind is None:
+            return None
+        w_blocks = (
+            self._split_X(self.prior.map_weights) if kind == "weighted" else None
+        )
+
+        def prior_blocks(blocks):
+            tot = 0.0
+            for i, x in enumerate(blocks):
+                xi = w_blocks[i] * x if w_blocks is not None else x
+                tot = tot + jnp.sum(jnp.abs(xi), axis=-1)
+            return tot
+
+        return prior_blocks
+
+    def _pyr_noise(self, key, blocks):
+        """Per-block Gaussian draws (real chains only — the pyramid gate
+        excludes complex).  Streams differ from the flat layout's single
+        draw; identically distributed."""
+        return tuple(
+            jax.random.normal(jax.random.fold_in(key, i), x.shape, x.dtype)
+            for i, x in enumerate(blocks)
+        )
+
+    def _pyr_gradg(self, X_blocks, preds=None):
+        """Fidelity gradient as a per-scale tuple (Gram or operator blocks)."""
+        if self._gram_ok():
+            return self._gram_gradg_blocks(X_blocks)
+        if preds is None:
+            preds = self.forward.forward_internal_blocks(X_blocks)
+        return tuple(
+            self._cast(g) for g in self.forward.gradg_internal_blocks(preds)
+        )
+
+    @staticmethod
+    def _pyr_dot(a, b):
+        """sum_i <a_i, b_i> accumulated per block (batched over chains)."""
+        tot = 0.0
+        for ai, bi in zip(a, b):
+            tot = tot + jnp.sum(ai * bi, axis=-1)
+        return tot
 
     def _split_X(self, X):
         from .ops.wavelets import _split_scales
@@ -450,6 +552,12 @@ class PxMCMC:
                 warm_time += dt
             if "summary" in self.track:
                 xb = recs["chain"] if "chain" in self.track else recs.pop("chain")
+                if isinstance(xb, (tuple, list)):
+                    # pyramid records: assemble once per superblock for the
+                    # device-side fold (amortised over nblk records)
+                    xb = jnp.concatenate(xb, axis=-1)
+                    if "chain" in self.track:
+                        recs["chain"] = xb
                 self._fold_summary(xb)
             recs = device_get_safe(recs)
             self._store_tracking(j, nblk, recs, device_get_safe(traces))
@@ -577,9 +685,21 @@ class PxMCMC:
             self.priors = np.zeros((ns, nc))
 
     def _record(self, state):
-        """Per-sample quantities emitted from the scan (device side)."""
+        """Per-sample quantities emitted from the scan (device side).
+
+        Pyramid runs that only record the chain (the ESS/production path)
+        emit the per-scale tuple as is — the flat vector is assembled on the
+        host after transfer (or once per superblock for the device-side
+        summary fold), so recording does not reintroduce the concatenate
+        the pyramid layout removed from the hot loop (round-3 VERDICT #4).
+        """
         rec = {}
         need_logpi = {"logposterior", "L2", "prior"} & set(self.track)
+        pyramid = not isinstance(state.X, jax.Array)
+        if pyramid and not need_logpi and "predictions" not in self.track:
+            if "chain" in self.track or "summary" in self.track:
+                rec["chain"] = tuple(state.X)
+            return rec
         X = self._flatten_X(state.X)  # pyramid layout: flatten at record only
         preds = state.preds
         if preds is None and (need_logpi or "predictions" in self.track):
@@ -602,7 +722,10 @@ class PxMCMC:
         if "prior" in self.track:
             self.priors[sl] = recs["prior"]
         if "chain" in self.track:
-            self.chain[sl] = recs["chain"]
+            c = recs["chain"]
+            if isinstance(c, (tuple, list)):  # pyramid records: host concat
+                c = np.concatenate([np.asarray(ci) for ci in c], axis=-1)
+            self.chain[sl] = c
         if "predictions" in self.track:
             self.preds[sl] = recs["predictions"]
 
@@ -645,20 +768,7 @@ class MYULA(PxMCMC):
         return not self._gram_ok()
 
     def _pyramid_ok(self) -> bool:
-        from .prior import L1
-
-        return (
-            getattr(self, "pyramid_state", False)
-            and (
-                self._gram_ok()
-                or getattr(self.forward, "_blocks_ok", lambda: False)()
-            )
-            and not self.complex
-            and not self._can_fuse()
-            and isinstance(self.prior, L1)
-            and self.prior.setting == "synthesis"
-            and type(self.prior).proxf is L1.proxf  # plain soft threshold
-        )
+        return super()._pyramid_ok() and not self._can_fuse()
 
     def _init_state(self, X, preds):
         if self._pyramid_ok():
@@ -695,30 +805,19 @@ class MYULA(PxMCMC):
             )
 
         if self._pyramid_ok():
-            from .utils import soft
-
             # trace-time reads: T threads through the capture machinery; the
             # per-scale views are loop-invariant slices (never cached on self
             # — _build_step may run inside an outer trace)
-            T = self.prior.T
-            T_blocks = (
-                self._split_X(T) if isinstance(T, jax.Array) and T.ndim else None
-            )
+            prox = self._pyr_prox_fn()
 
             def step_pyr(state, key):
-                gradg = (
-                    self._gram_gradg_blocks(state.X)
-                    if gram
-                    else self.forward.gradg_internal_blocks(state.preds)
+                gradg = self._pyr_gradg(state.X, state.preds)
+                proxf = prox(state.X)
+                ws = self._pyr_noise(key, state.X)
+                Xn = tuple(
+                    self.chain_step(x, p, g, w)
+                    for x, p, g, w in zip(state.X, proxf, gradg, ws)
                 )
-                Xn = []
-                for i, (x, g) in enumerate(zip(state.X, gradg)):
-                    Ti = T_blocks[i] if T_blocks is not None else T
-                    w = jax.random.normal(
-                        jax.random.fold_in(key, i), x.shape, x.dtype
-                    )
-                    Xn.append(self.chain_step(x, soft(x, Ti), self._cast(g), w))
-                Xn = tuple(Xn)
                 preds = None if gram else self.forward.forward_internal_blocks(Xn)
                 return ChainState(X=Xn, preds=preds), ()
 
@@ -840,7 +939,51 @@ class PxMALA(MYULA):
             + jnp.sum(gradg * X, axis=-1)
         )
 
+    def _gram_fidelity_blocks(self, X_blocks, gradg_blocks):
+        """Per-scale-block form of :meth:`_gram_fidelity` (partial sums
+        accumulate per block; same math, summation order differs)."""
+        return (
+            self._gram_c2
+            - self._pyr_dot(self._gram_b_blocks, X_blocks)
+            + self._pyr_dot(gradg_blocks, X_blocks)
+        )
+
+    def _pyramid_ok(self) -> bool:
+        # the MH correction evaluates the prior value every step, so PxMALA
+        # additionally needs an exact per-block form of prior.prior
+        return super()._pyramid_ok() and self._pyr_prior_kind() is not None
+
+    def _pyr_fidelity(self, X_blocks, gradg_blocks, preds):
+        if self._gram_ok():
+            return self._gram_fidelity_blocks(X_blocks, gradg_blocks)
+        return self.forward.fidelity_internal(preds)
+
     def _init_state(self, X, preds):
+        if self._pyramid_ok():
+            self._prepare()
+            Xb = self._split_X(X)
+            if self._gram_ok():
+                prop_preds = None
+                gradg = self._gram_gradg_blocks(Xb)
+            else:
+                prop_preds = self.forward.forward_internal_blocks(Xb)
+                gradg = tuple(
+                    self._cast(g)
+                    for g in self.forward.gradg_internal_blocks(prop_preds)
+                )
+            L2 = self._pyr_fidelity(Xb, gradg, prop_preds)
+            prior = self._pyr_prior_fn()(Xb)
+            return MALAState(
+                X=Xb,
+                preds=prop_preds,
+                gradg=gradg,
+                proxf=self._pyr_prox_fn()(Xb),
+                logpi=-self.mu * prior - L2,
+                L2=L2,
+                prior=prior,
+                delta=jnp.full((self.nchains,), self.delta, dtype=real_dtype()),
+                it=jnp.zeros((), dtype=jnp.int32),
+            )
         if self._gram_ok():
             self._prepare()
             gradg = self._gram_gradg(X)
@@ -910,7 +1053,94 @@ class PxMALA(MYULA):
         new = delta * (1 + (accept.astype(real_dtype()) - 0.5) / (it + 1.0) ** 0.75)
         return jnp.clip(new, self.lmda * 1e-8, self.lmda / 2)
 
+    def _build_step_pyr(self):
+        """Pyramid-state MH step: proposal, gradients, fidelity, prior and
+        transition kernels all run per scale block; only the per-chain
+        scalars (logalpha, acceptance, delta) are flat.  Streams differ from
+        the flat layout (per-block noise draws); identically distributed."""
+        gram = self._gram_ok()
+        self._prepare()
+        prox = self._pyr_prox_fn()
+        prior_fn = self._pyr_prior_fn()
+
+        def logtrans(X1, X2, proxf, gradg, delta):
+            # block form of calc_logtransition: -||X2 - m||^2 / (4 delta)
+            d = delta[..., None]
+            tot = 0.0
+            for x1, x2, p, g in zip(X1, X2, proxf, gradg):
+                m = x1 + d * (-((x1 - p) / self.lmda) - g)
+                r = x2 - m
+                tot = tot + jnp.sum(r * r, axis=-1)
+            return -tot / (4 * delta)
+
+        def step(state, key):
+            kn, ka = jax.random.split(key)
+            d = state.delta[..., None]
+            ws = self._pyr_noise(kn, state.X)
+            X_prop = tuple(
+                (1 - d / self.lmda) * x
+                + (d / self.lmda) * p
+                - d * g
+                + jnp.sqrt(2 * d) * w
+                for x, p, g, w in zip(state.X, state.proxf, state.gradg, ws)
+            )
+            if gram:
+                prop_preds = None
+                gradg_prop = self._gram_gradg_blocks(X_prop)
+            else:
+                prop_preds = self.forward.forward_internal_blocks(X_prop)
+                gradg_prop = tuple(
+                    self._cast(g)
+                    for g in self.forward.gradg_internal_blocks(prop_preds)
+                )
+            L2Xp = self._pyr_fidelity(X_prop, gradg_prop, prop_preds)
+            priorXp = prior_fn(X_prop)
+            logpiXp = -self.mu * priorXp - L2Xp
+            proxf_prop = prox(X_prop)
+
+            logalpha = (
+                logtrans(X_prop, state.X, proxf_prop, gradg_prop, state.delta)
+                + self._logtarget(priorXp, L2Xp)
+                - logtrans(state.X, X_prop, state.proxf, state.gradg, state.delta)
+                - self._logtarget(state.prior, state.L2)
+            )
+            u = jax.random.uniform(ka, logalpha.shape, dtype=real_dtype())
+            accept = jnp.log(u) < logalpha
+
+            def sel1(a, b):
+                cond = accept.reshape(accept.shape + (1,) * (a.ndim - accept.ndim))
+                return jnp.where(cond, a, b)
+
+            def sel(a, b):
+                if a is None:
+                    return None
+                if isinstance(a, tuple):
+                    return tuple(sel1(ai, bi) for ai, bi in zip(a, b))
+                return sel1(a, b)
+
+            new_delta = (
+                self._tune(state.delta, accept, state.it.astype(real_dtype()))
+                if self.tune_delta
+                else state.delta
+            )
+            new_state = MALAState(
+                X=sel(X_prop, state.X),
+                preds=sel(prop_preds, state.preds),
+                gradg=sel(gradg_prop, state.gradg),
+                proxf=sel(proxf_prop, state.proxf),
+                logpi=sel(logpiXp, state.logpi),
+                L2=sel(L2Xp, state.L2),
+                prior=sel(priorXp, state.prior),
+                delta=new_delta,
+                it=state.it + 1,
+            )
+            return new_state, (accept.astype(jnp.int8), new_delta)
+
+        return step
+
     def _build_step(self):
+        if self._pyramid_ok():
+            return self._build_step_pyr()
         gram = self._gram_ok()
         if gram:
             self._prepare()
@@ -1064,6 +1294,10 @@ class SKROCK(PxMCMC):
         return not self._gram_ok()
 
     def _init_state(self, X, preds):
+        if self._pyramid_ok():
+            return ChainState(
+                X=self._split_X(X), preds=None if self._gram_ok() else preds
+            )
         if self._gram_ok():
             return ChainState(X=X, preds=None)
         return ChainState(X=X, preds=preds)
@@ -1086,6 +1320,54 @@ class SKROCK(PxMCMC):
         gram = self._gram_ok()
         if gram and not hasattr(self, "_gram"):
             self._setup_gram()
+
+        if self._pyramid_ok():
+            prox = self._pyr_prox_fn()
+
+            def gradlogpi_b(Xb):
+                # Moreau-Yosida gradient per block: the stage points are
+                # interior evaluations, so the non-Gram path re-runs the
+                # block forward each stage (same as the flat layout)
+                proxf = prox(Xb)
+                gradg = self._pyr_gradg(Xb)
+                return tuple(
+                    ((p - x) / self.lmda) - g
+                    for x, p, g in zip(Xb, proxf, gradg)
+                )
+
+            def chain_step_b(Xb, Zb):
+                sq = jnp.sqrt(2 * self.delta)
+                inner = tuple(
+                    x + self.nus[1] * sq * z for x, z in zip(Xb, Zb)
+                )
+                G = gradlogpi_b(inner)
+                K_prev = Xb
+                K = tuple(
+                    x + self.mus[1] * self.delta * g + self.ks[1] * sq * z
+                    for x, g, z in zip(Xb, G, Zb)
+                )
+                for j in range(2, self.s + 1):
+                    G = gradlogpi_b(K)
+                    K, K_prev = (
+                        tuple(
+                            self.mus[j] * self.delta * g
+                            + self.nus[j] * k
+                            + self.ks[j] * kp
+                            for g, k, kp in zip(G, K, K_prev)
+                        ),
+                        K,
+                    )
+                return K
+
+            def step_pyr(state, key):
+                Z = self._pyr_noise(key, state.X)
+                X = chain_step_b(state.X, Z)
+                preds = (
+                    None if gram else self.forward.forward_internal_blocks(X)
+                )
+                return ChainState(X=X, preds=preds), ()
+
+            return step_pyr
 
         def step(state, key):
             Z = self._noise(key, state.X.shape)

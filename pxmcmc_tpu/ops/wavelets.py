@@ -320,9 +320,15 @@ def synthesis(X: jax.Array, wb: WaveletBasis) -> jax.Array:
     (`/root/reference/pxmcmc/transforms.py:114-127`).  Exact inverse of
     :func:`analysis` by the admissibility identity.
     """
-    fwd, inv, _, _ = _sht_fns(_use_real_path(X, wb))
+    return synthesis_blocks(tuple(_split_scales(X, wb)), wb)
+
+
+@jax.jit
+def synthesis_blocks(blocks, wb: WaveletBasis) -> jax.Array:
+    """Per-scale-block form of :func:`synthesis` (same math; input already
+    split into per-scale segments, so no flat-vector slicing)."""
+    fwd, inv, _, _ = _sht_fns(_use_real_path(blocks[0], wb))
     L = wb.L
-    blocks = _split_scales(X, wb)
     flm = None
     for blk, kap, basis, bl in zip(blocks, wb.kappa_flm, wb.bases, wb.bandlimits):
         wmap = blk.reshape(blk.shape[:-1] + (bl, 2 * bl - 1))
@@ -342,6 +348,15 @@ def synthesis_adjoint(f: jax.Array, wb: WaveletBasis) -> jax.Array:
     (`/root/reference/pxmcmc/transforms.py:129-139`) — the map the synthesis
     -setting gradient flows through (``forward.py:71-72``).
     """
+    return jnp.concatenate(synthesis_adjoint_blocks(f, wb), axis=-1)
+
+
+@jax.jit
+def synthesis_adjoint_blocks(f: jax.Array, wb: WaveletBasis) -> tuple:
+    """Per-scale-block form of :func:`synthesis_adjoint`: returns the
+    coefficient pyramid as a tuple of per-scale flat segments (no
+    concatenate — block consumers, e.g. the analysis-setting prox, use the
+    tuple as is)."""
     _, _, fwd_adj, inv_adj = _sht_fns(_use_real_path(f, wb))
     L = wb.L
     fmap = f.reshape(f.shape[:-1] + (L, 2 * L - 1))
@@ -351,7 +366,7 @@ def synthesis_adjoint(f: jax.Array, wb: WaveletBasis) -> jax.Array:
         wlm = glm[..., : bl * bl] * kap
         wmap = fwd_adj(wlm, basis)
         out.append(wmap.reshape(wmap.shape[:-2] + (-1,)))
-    return jnp.concatenate(out, axis=-1)
+    return tuple(out)
 
 
 @jax.jit

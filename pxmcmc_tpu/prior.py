@@ -45,6 +45,32 @@ class L1:
             if not np.isscalar(T) else T
         )
 
+    def _analysis_block_basis(self):
+        """When the analysis-prox handles are the standard synthesis /
+        synthesis-adjoint pair of an axisymmetric pixel-mode
+        :class:`~pxmcmc_tpu.transforms.SphericalWaveletTransform`, the prox
+        can run block-form end to end — the intermediate coefficient pyramid
+        never materialises as one flat vector (concatenate + re-split were
+        ~15% of the analysis step in the round-3 trace).  Returns the
+        transform's :class:`~pxmcmc_tpu.ops.wavelets.WaveletBasis`, or None
+        to take the generic handle-based path.  Exact: the block path runs
+        the identical per-scale ops minus the concatenate/split."""
+        from .transforms import SphericalWaveletTransform
+
+        tr = getattr(self.fwd, "__self__", None)
+        if (
+            tr is not None
+            and tr is getattr(self.adj, "__self__", None)
+            and type(tr) is SphericalWaveletTransform
+            and getattr(self.fwd, "__func__", None) is SphericalWaveletTransform.inverse
+            and getattr(self.adj, "__func__", None)
+            is SphericalWaveletTransform.inverse_adjoint
+            and tr.dirs == 1
+            and not tr.harmonic
+        ):
+            return tr.basis
+        return None
+
     def prior(self, X):
         """log-prior = sum |X| (ref ``prior.py:28-35``); batched over leading dims."""
         return jnp.sum(jnp.abs(X), axis=-1)
@@ -59,8 +85,23 @@ class L1:
         return soft(X, self.T)
 
     def _proxf_analysis(self, X):
+        wb = self._analysis_block_basis()
+        if wb is not None:
+            AXb = wavelets.synthesis_adjoint_blocks(X, wb)
+            Tb = self._split_T(wb)
+            db = tuple(
+                soft(a, Tb[i] if Tb is not None else self.T) - a
+                for i, a in enumerate(AXb)
+            )
+            return X + wavelets.synthesis_blocks(db, wb)
         AX = self.adj(X)
         return X + self.fwd(soft(AX, self.T) - AX)
+
+    def _split_T(self, wb):
+        """Per-scale views of a vector threshold (None for scalar T)."""
+        if not (isinstance(self.T, jnp.ndarray) and self.T.ndim):
+            return None
+        return tuple(wavelets._split_scales(self.T, wb))
 
 
 class S2_Wavelets_L1(L1):

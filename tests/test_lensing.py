@@ -137,6 +137,7 @@ def test_myula_chain_fast_equals_generic(wl_setup, monkeypatch):
         params = PxMCMCParams(
             nsamples=4, nburn=2, ngap=2, delta=1e-4, lmda=1e-4, mu=1,
             verbosity=0, nchains=2, track=("logposterior", "L2", "prior", "chain"),
+            pyramid_state=False,  # generic path has no blocks: match streams
         )
         prior = S2_Wavelets_L1(
             "synthesis", fwd.transform.inverse, fwd.transform.inverse_adjoint,

@@ -214,7 +214,7 @@ def test_gram_fast_path_matches_standard(simpledata, L, B, J_min):
     from pxmcmc_tpu.prior import S2_Wavelets_L1
 
     kw = dict(nsamples=15, nburn=5, ngap=2, verbosity=0, delta=1e-4, lmda=1e-4,
-              nchains=2)
+              nchains=2, pyramid_state=False)  # both sides on the flat stream
 
     def build(sig_d):
         fwd = SphericalWaveletTransformOperator(simpledata, sig_d, "synthesis",
@@ -253,7 +253,7 @@ def test_pxmala_gram_path_matches_standard(simpledata, L, B, J_min):
     from pxmcmc_tpu.prior import S2_Wavelets_L1
 
     kw = dict(nsamples=12, nburn=4, ngap=2, verbosity=0, delta=1e-4, lmda=1e-4,
-              nchains=2)
+              nchains=2, pyramid_state=False)  # both sides on the flat stream
 
     def build():
         fwd = SphericalWaveletTransformOperator(simpledata, 0.1, "synthesis",
@@ -287,7 +287,7 @@ def test_skrock_gram_path_matches_standard(simpledata, L, B, J_min):
     from pxmcmc_tpu.prior import S2_Wavelets_L1
 
     kw = dict(nsamples=8, nburn=2, ngap=2, verbosity=0, delta=1e-5, lmda=1e-5,
-              s=4, nchains=2)
+              s=4, nchains=2, pyramid_state=False)  # both sides on the flat stream
 
     def build():
         fwd = SphericalWaveletTransformOperator(simpledata, 0.1, "synthesis",

@@ -174,6 +174,174 @@ def test_pyramid_weaklensing_run(L, B, J_min, rng):
     assert np.isfinite(s.logPi).all()
 
 
+def _pxmala_sampler(simpledata, L, B, J_min, pyramid, nchains=3):
+    from pxmcmc_tpu.mcmc import PxMALA
+
+    fwd = SphericalWaveletTransformOperator(
+        simpledata, 0.1, "synthesis", L, B, J_min
+    )
+    params = PxMCMCParams(
+        nsamples=4, nburn=2, ngap=2, verbosity=0, lmda=1e-6, delta=1e-7,
+        nchains=nchains, pyramid_state=pyramid,
+    )
+    prior = S2_Wavelets_L1(
+        "synthesis", fwd.transform.inverse, fwd.transform.inverse_adjoint,
+        params.lmda, L=L, B=B, J_min=J_min,
+    )
+    return PxMALA(fwd, prior, params)
+
+
+def test_pxmala_pyramid_step_equals_manual_flat(simpledata, L, B, J_min, rng):
+    """One pyramid PxMALA step == the flat-layout MH update evaluated with
+    the same per-block noise draws: proposal, fidelity, prior, transition
+    kernel and accept/reject all agree."""
+    s = _pxmala_sampler(simpledata, L, B, J_min, pyramid=True)
+    s._prepare()
+    assert s._pyramid_ok()
+    X = jnp.asarray(rng.standard_normal((3, s.forward.nparams)))
+    state = s._init_state(X, None)
+    assert isinstance(state.X, tuple)
+    # init-state scalars match the flat init exactly (summation order aside)
+    s_flat = _pxmala_sampler(simpledata, L, B, J_min, pyramid=False)
+    s_flat._prepare()
+    state_flat = s_flat._init_state(X, None)
+    np.testing.assert_allclose(
+        np.asarray(state.L2), np.asarray(state_flat.L2), rtol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(state.prior), np.asarray(state_flat.prior), rtol=1e-10
+    )
+
+    key = jax.random.key(11)
+    out, (accept, deltas) = jax.jit(s._build_step())(state, key)
+
+    # manual flat computation with the identical per-block noise stream
+    kn, ka = jax.random.split(key)
+    w = jnp.concatenate(
+        [
+            jax.random.normal(jax.random.fold_in(kn, i), x.shape, x.dtype)
+            for i, x in enumerate(state.X)
+        ],
+        axis=-1,
+    )
+    d = state_flat.delta[..., None]
+    X_prop = (
+        (1 - d / s.lmda) * X
+        + (d / s.lmda) * state_flat.proxf
+        - d * state_flat.gradg
+        + jnp.sqrt(2 * d) * w
+    )
+    gradg_prop = s_flat._gram_gradg(X_prop)
+    L2Xp = s_flat._gram_fidelity(X_prop, gradg_prop)
+    priorXp = s_flat.prior.prior(X_prop)
+    logalpha = (
+        s_flat.calc_logtransition(
+            X_prop, X, s_flat.prior.proxf(X_prop), gradg_prop, state_flat.delta
+        )
+        + s_flat._logtarget(priorXp, L2Xp)
+        - s_flat.calc_logtransition(
+            X, X_prop, state_flat.proxf, state_flat.gradg, state_flat.delta
+        )
+        - s_flat._logtarget(state_flat.prior, state_flat.L2)
+    )
+    u = jax.random.uniform(ka, logalpha.shape, dtype=X.dtype)
+    exp_accept = jnp.log(u) < logalpha
+    expected = jnp.where(exp_accept[:, None], X_prop, X)
+    np.testing.assert_array_equal(np.asarray(accept[0]), np.asarray(exp_accept))
+    np.testing.assert_allclose(
+        np.asarray(s._flatten_X(out.X)), np.asarray(expected),
+        rtol=1e-8, atol=1e-10,
+    )
+
+
+def test_pxmala_pyramid_run_and_traces(simpledata, L, B, J_min):
+    s = _pxmala_sampler(simpledata, L, B, J_min, pyramid=True)
+    s.run()
+    assert np.isfinite(s.logPi).all()
+    assert s.acceptance_trace.shape == (8, 3)
+    assert np.isfinite(s.deltas_trace).all()
+
+
+def test_skrock_pyramid_step_equals_manual_flat(simpledata, L, B, J_min, rng):
+    """One pyramid SK-ROCK step == the flat linear recursion with the same
+    per-block noise."""
+    from pxmcmc_tpu.mcmc import SKROCK
+
+    fwd = SphericalWaveletTransformOperator(
+        simpledata, 0.1, "synthesis", L, B, J_min
+    )
+    params = PxMCMCParams(
+        nsamples=2, nburn=0, ngap=1, verbosity=0, lmda=1e-6, delta=1e-8,
+        nchains=3, s=4, pyramid_state=True,
+    )
+    prior = S2_Wavelets_L1(
+        "synthesis", fwd.transform.inverse, fwd.transform.inverse_adjoint,
+        params.lmda, L=L, B=B, J_min=J_min,
+    )
+    s = SKROCK(fwd, prior, params)
+    s._prepare()
+    assert s._pyramid_ok()
+    X = jnp.asarray(rng.standard_normal((3, s.forward.nparams)))
+    state = s._init_state(X, None)
+    assert isinstance(state.X, tuple)
+    key = jax.random.key(5)
+    out, _ = jax.jit(s._build_step())(state, key)
+
+    Z = jnp.concatenate(
+        [
+            jax.random.normal(jax.random.fold_in(key, i), x.shape, x.dtype)
+            for i, x in enumerate(state.X)
+        ],
+        axis=-1,
+    )
+    expected = s.chain_step(X, Z)  # flat linear recursion (gram path)
+    np.testing.assert_allclose(
+        np.asarray(s._flatten_X(out.X)), np.asarray(expected),
+        rtol=1e-7, atol=1e-9,
+    )
+
+
+def test_record_blocks_only_chain_matches_flat_record(simpledata, L, B, J_min):
+    """Recording the chain as per-scale blocks (track without logposterior)
+    yields the same stored samples as the flatten-at-record path — recording
+    must not change the dynamics or the values."""
+    a = _sampler(simpledata, L, B, J_min, pyramid=True)
+    a.track = ["chain"]
+    a.run()
+    b = _sampler(simpledata, L, B, J_min, pyramid=True)
+    b.track = ["logposterior", "chain"]
+    b.run()
+    np.testing.assert_allclose(a.chain, b.chain, rtol=1e-12)
+
+
+def test_analysis_block_prox_matches_generic(simpledata, L, B, J_min, rng):
+    """The block-form analysis prox (transform-bound handles) equals the
+    generic handle-based path exactly."""
+    fwd = SphericalWaveletTransformOperator(
+        simpledata, 0.1, "analysis", L, B, J_min
+    )
+    tr = fwd.transform
+    p_block = S2_Wavelets_L1(
+        "analysis", tr.inverse, tr.inverse_adjoint, 1e-3, L=L, B=B, J_min=J_min
+    )
+    assert p_block._analysis_block_basis() is not None
+    # identical weights, but opaque lambda handles -> generic path
+    p_generic = S2_Wavelets_L1(
+        "analysis", lambda x: tr.inverse(x), lambda x: tr.inverse_adjoint(x),
+        1e-3, L=L, B=B, J_min=J_min,
+    )
+    assert p_generic._analysis_block_basis() is None
+    X = jnp.asarray(rng.standard_normal((2, fwd.nparams)))
+    np.testing.assert_allclose(
+        np.asarray(p_block.proxf(X)), np.asarray(p_generic.proxf(X)),
+        rtol=1e-10, atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(p_block.prior(X)), np.asarray(p_generic.prior(X)),
+        rtol=1e-10,
+    )
+
+
 def test_pyramid_off_for_analysis_setting(simpledata, L, B, J_min):
     """Analysis-setting priors have no per-scale soft threshold — the flag
     is ignored and the flat layout runs."""
