@@ -64,9 +64,11 @@ parser.add_argument("--checkpoint-every", type=int, default=None,
                     help="Checkpoint cadence in saved samples.")
 parser.add_argument("--profile-dir", type=str, default=None,
                     help="Capture a jax.profiler trace of one superblock.")
-parser.add_argument("--pyramid", action="store_true",
-                    help="Per-scale pyramid state layout (MYULA+Gram; "
-                         "~15%% faster steps, different noise stream).")
+parser.add_argument("--pyramid", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="Per-scale pyramid state layout (default; ~15%% "
+                         "faster steps than --no-pyramid's flat layout, "
+                         "different noise stream).")
 
 
 def load_topo(infile, L):

@@ -50,21 +50,54 @@ truth = load_topo(args.infile, L).reshape(mw_shape) / 1000
 plotting.plot_map(truth, title="Truth").savefig(filename("truth"))
 
 if "chain" not in data:
-    # track='summary' run: no stored chain — map the streamed posterior
-    # mean (mean commutes with the linear synthesis, so this is exact)
-    pm = np.asarray(data["posterior_mean"])
-    pm = pm.mean(axis=0) if pm.ndim == 2 else pm
-    mean = (
-        to_host(wvlttrans.inverse(pm)).real if setting == "synthesis" else pm.real
-    ).reshape(mw_shape)
+    # track='summary' run: no stored chain.  The streamed products carry
+    # everything the chain branch below derives:
+    #   - posterior mean map: pixel summary if tracked, else the synthesis
+    #     of the coefficient mean (mean commutes with the linear synthesis)
+    #   - CI-range map: pixel-space P^2 sketches ('summary_pixel' track)
+    #   - MAP map + SNR: running device-side argmax ('map' track)
+    if "posterior_mean_pix" in data:
+        mean = np.asarray(data["posterior_mean_pix"]).real.reshape(mw_shape)
+    else:
+        pm = np.asarray(data["posterior_mean"])
+        pm = pm.mean(axis=0) if pm.ndim == 2 else pm
+        mean = (
+            to_host(wvlttrans.inverse(pm)).real if setting == "synthesis" else pm.real
+        ).reshape(mw_shape)
     plotting.plot_map(mean, title="Mean solution").savefig(filename("mean"))
     diff_mean = truth - mean
     cbar_end = max(abs(diff_mean.min()), diff_mean.max())
     plotting.plot_map(diff_mean, title="True - mean", cmap="PuOr",
                       vmin=-cbar_end, vmax=cbar_end).savefig(filename("diff_mean"))
+    if "ci_range_pix" in data:
+        ci_range = np.asarray(data["ci_range_pix"]).reshape(mw_shape)
+        plotting.plot_map(ci_range, title="95% credible interval range",
+                          cmap="viridis", vmin=0).savefig(filename("ci_map"))
+    if "MAP" in data:
+        MAP_X = np.asarray(data["MAP"])
+        MAP = (
+            to_host(wvlttrans.inverse(MAP_X)).real
+            if setting == "synthesis" else MAP_X.real
+        ).reshape(mw_shape)
+        plotting.plot_map(MAP, title="Maximum a posteriori solution").savefig(
+            filename("MAP"))
+        diff = truth - MAP
+        cbar_end = max(abs(diff.min()), diff.max())
+        plotting.plot_map(diff, title="True - MAP", cmap="PuOr",
+                          vmin=-cbar_end, vmax=cbar_end).savefig(filename("diff"))
+        print(f"MAP SNR: {float(snr(truth, diff)):.2f} dB")
+    if "noise" in params and np.any(params["noise"]):
+        noise = np.asarray(params["noise"]).reshape(mw_shape) / 1000
+        plotting.plot_map(noise, title="Added noise", cmap="binary",
+                          oversample=False).savefig(filename("noise"))
+        print(f"Input SNR: {float(snr(truth, noise)):.2f} dB")
     print(f"Mean SNR: {float(snr(truth, diff_mean)):.2f} dB")
     if args.save_npy:
         np.save(filename("mean", "npy"), mean)
+        if "ci_range_pix" in data:
+            np.save(filename("CI", "npy"), ci_range)
+        if "MAP" in data:
+            np.save(filename("MAP", "npy"), MAP)
     sys.exit(0)
 
 chain = data["chain"]

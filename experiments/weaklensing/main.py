@@ -164,7 +164,9 @@ if __name__ == "__main__":
     parser.add_argument("--nburn", type=int, default=0)
     parser.add_argument("--nchains", type=int, default=1)
     parser.add_argument("--seed", type=int, default=0)
-    parser.add_argument("--pyramid", action="store_true",
-                        help="Per-scale pyramid state layout (faster steps; "
+    parser.add_argument("--pyramid", action=argparse.BooleanOptionalAction,
+                        default=True,
+                        help="Per-scale pyramid state layout (default; "
+                             "faster steps than --no-pyramid's flat layout, "
                              "different noise stream).")
     main(parser.parse_args())

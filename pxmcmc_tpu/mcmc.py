@@ -422,6 +422,13 @@ class PxMCMC:
         """
         from .capture import CaptureThreader
 
+        if "map" in self.track and "logposterior" not in self.track:
+            raise ValueError(
+                "track='map' needs per-record logposteriors: add "
+                "'logposterior' to track"
+            )
+        self._map_logpi = float("-inf")
+        self._map_X = None
         key = jax.random.key(self.seed)
         key, init_key = jax.random.split(key)
         X, preds = self._initial_sample(start_point, init_key)
@@ -528,6 +535,11 @@ class PxMCMC:
                     )
                 self._summary = st
                 self._summary_pending = summary.get("pending")
+                self._summary_pix = summary.get("pixel_state")
+                self._summary_pending_pix = summary.get("pixel_pending")
+                if "map_X" in summary:
+                    self._map_X = np.asarray(summary["map_X"])
+                    self._map_logpi = float(np.asarray(summary["map_logpi"]))
         next_ckpt = j + (checkpoint_every or block)
         t_start = time.time()
         warm_iters = 0
@@ -550,6 +562,8 @@ class PxMCMC:
             if j > 0:  # skip the compile superblock for throughput stats
                 warm_iters += nblk * gap * self.nchains
                 warm_time += dt
+            if "map" in self.track:
+                self._fold_map(recs)
             if "summary" in self.track:
                 xb = recs["chain"] if "chain" in self.track else recs.pop("chain")
                 if isinstance(xb, (tuple, list)):
@@ -559,6 +573,10 @@ class PxMCMC:
                     if "chain" in self.track:
                         recs["chain"] = xb
                 self._fold_summary(xb)
+            elif "chain" not in self.track:
+                recs.pop("chain", None)  # map-only record: not stored
+            if "summary_pixel" in self.track:
+                self._fold_summary(recs.pop("pixel"), suffix="_pix")
             recs = device_get_safe(recs)
             self._store_tracking(j, nblk, recs, device_get_safe(traces))
             j += nblk
@@ -574,6 +592,11 @@ class PxMCMC:
                 next_ckpt = j + (checkpoint_every or block)
         if "summary" in self.track:
             self._finish_summary()
+        if "summary_pixel" in self.track:
+            self._finish_summary(suffix="_pix")
+        if "map" in self.track and getattr(self, "_map_X", None) is not None:
+            self.MAP_X = self._map_X
+            self.MAP_logpi = self._map_logpi
         self.runtime_seconds = time.time() - t_start
         if "logposterior" in self.track and not np.isfinite(self.logPi).all():
             print(
@@ -592,7 +615,7 @@ class PxMCMC:
         print("\nDONE")
         return self
 
-    def _fold_summary(self, xb):
+    def _fold_summary(self, xb, suffix=""):
         """Fold a block of recorded samples into the device-side summary.
 
         Chains sample the same posterior, so the summary pools them: the
@@ -606,31 +629,38 @@ class PxMCMC:
         seeds), so ``track='summary'`` works at any superblock size — the
         auto block shrinks below 5 exactly for the large-nparams runs the
         summary path exists for (round-1 VERDICT weak #7).
+
+        ``suffix="_pix"`` maintains the second, pixel-space summary of the
+        ``summary_pixel`` track (posterior mean / var / CI-range *maps*
+        streamed with O(npix) memory — production runs never store chains).
         """
         from .diagnostics import summary_init, summary_update
 
+        s_attr, p_attr = "_summary" + suffix, "_summary_pending" + suffix
         xb = xb.reshape((-1,) + xb.shape[2:])  # pool chains
-        if getattr(self, "_summary", None) is None:
-            pend = getattr(self, "_summary_pending", None)
+        if getattr(self, s_attr, None) is None:
+            pend = getattr(self, p_attr, None)
             if pend is not None:
                 xb = jnp.concatenate([jnp.asarray(pend), xb], axis=0)
             if xb.shape[0] < 5:
-                self._summary_pending = xb
+                setattr(self, p_attr, xb)
                 return
-            self._summary_pending = None
-            self._summary = jax.jit(summary_init)(xb)
+            setattr(self, p_attr, None)
+            setattr(self, s_attr, jax.jit(summary_init)(xb))
         else:
-            self._summary = jax.jit(summary_update)(self._summary, xb)
+            setattr(self, s_attr, jax.jit(summary_update)(getattr(self, s_attr), xb))
 
-    def _finish_summary(self):
+    def _finish_summary(self, suffix=""):
         """Materialise posterior_mean / posterior_var / ci_range on host."""
         from .diagnostics import summary_results
 
-        if getattr(self, "_summary", None) is not None:
-            m, v, ci = summary_results(self._summary)
-        elif getattr(self, "_summary_pending", None) is not None:
+        state = getattr(self, "_summary" + suffix, None)
+        pend = getattr(self, "_summary_pending" + suffix, None)
+        if state is not None:
+            m, v, ci = summary_results(state)
+        elif pend is not None:
             # degenerate runs with < 5 records total: direct quantiles
-            pend = jnp.asarray(self._summary_pending)
+            pend = jnp.asarray(pend)
             m = jnp.mean(pend, axis=0)
             v = jnp.var(pend, axis=0)
             ci = jnp.quantile(pend, 0.975, axis=0) - jnp.quantile(
@@ -638,9 +668,38 @@ class PxMCMC:
             )
         else:
             return
-        self.posterior_mean = np.asarray(jax.device_get(m))
-        self.posterior_var = np.asarray(jax.device_get(v))
-        self.ci_range = np.asarray(jax.device_get(ci))
+        setattr(self, "posterior_mean" + suffix, np.asarray(jax.device_get(m)))
+        setattr(self, "posterior_var" + suffix, np.asarray(jax.device_get(v)))
+        setattr(self, "ci_range" + suffix, np.asarray(jax.device_get(ci)))
+
+    def _pixel_record(self, X):
+        """Pixel-space image of a sample (``summary_pixel`` track): the
+        synthesis of the coefficient vector for synthesis-setting models
+        with a transform, the (pixel-space) sample itself otherwise."""
+        tr = getattr(self.forward, "transform", None)
+        if getattr(self.forward, "setting", None) == "synthesis" and tr is not None:
+            return tr.inverse(X).real
+        return X.real
+
+    def _fold_map(self, recs):
+        """Track the maximum-a-posteriori sample across superblocks (``map``
+        track): one device argmax over the block's recorded logposteriors,
+        one small host transfer when the incumbent is beaten.  O(nparams)
+        memory — MAP products without storing any chain."""
+        lp = recs["logposterior"]
+        idx = int(jnp.argmax(lp))
+        bi, ci = divmod(idx, lp.shape[1])
+        best = float(lp[bi, ci])
+        if best > self._map_logpi:
+            X = recs["chain"]
+            if isinstance(X, (tuple, list)):
+                xbest = np.concatenate(
+                    [np.asarray(x[bi, ci]) for x in X], axis=-1
+                )
+            else:
+                xbest = np.asarray(X[bi, ci])
+            self._map_X = xbest
+            self._map_logpi = best
 
     def _summary_checkpoint_payload(self):
         out = {}
@@ -648,6 +707,13 @@ class PxMCMC:
             out["state"] = self._summary
         if getattr(self, "_summary_pending", None) is not None:
             out["pending"] = self._summary_pending
+        if getattr(self, "_summary_pix", None) is not None:
+            out["pixel_state"] = self._summary_pix
+        if getattr(self, "_summary_pending_pix", None) is not None:
+            out["pixel_pending"] = self._summary_pending_pix
+        if getattr(self, "_map_X", None) is not None:
+            out["map_X"] = np.asarray(self._map_X)
+            out["map_logpi"] = np.asarray(self._map_logpi)
         return out or None
 
     def _tracking_dict(self, j):
@@ -695,9 +761,16 @@ class PxMCMC:
         """
         rec = {}
         need_logpi = {"logposterior", "L2", "prior"} & set(self.track)
+        want_chain = {"chain", "summary", "map"} & set(self.track)
+        want_pixel = "summary_pixel" in self.track
         pyramid = not isinstance(state.X, jax.Array)
-        if pyramid and not need_logpi and "predictions" not in self.track:
-            if "chain" in self.track or "summary" in self.track:
+        if (
+            pyramid
+            and not need_logpi
+            and not want_pixel
+            and "predictions" not in self.track
+        ):
+            if want_chain:
                 rec["chain"] = tuple(state.X)
             return rec
         X = self._flatten_X(state.X)  # pyramid layout: flatten at record only
@@ -707,10 +780,12 @@ class PxMCMC:
         if need_logpi:
             logPi, L2, prior = self.logpi(X, preds)
             rec.update(logposterior=logPi, L2=L2, prior=prior)
-        if "chain" in self.track or "summary" in self.track:
+        if want_chain:
             rec["chain"] = X
         if "predictions" in self.track:
             rec["predictions"] = self.forward.preds_to_data(preds)
+        if want_pixel:
+            rec["pixel"] = self._pixel_record(X)
         return rec
 
     def _store_tracking(self, j, nblk, recs, traces):

@@ -49,12 +49,19 @@ def save_mcmc(mcmc, params, outpath, filename="outputs", **kwargs):
             )
         if getattr(mcmc, "deltas_trace", None) is not None:
             f.create_dataset("deltas", data=_squeeze_chain(mcmc.deltas_trace))
-        # track='summary' products (device-side streaming moments + P^2
-        # sketches; beyond-reference) — the production path for runs whose
-        # thinned chains would not fit host RAM
-        for name in ("posterior_mean", "posterior_var", "ci_range"):
+        # track='summary' / 'summary_pixel' / 'map' products (device-side
+        # streaming moments + P^2 sketches + running MAP; beyond-reference)
+        # — the production path for runs whose thinned chains would not fit
+        # host RAM
+        for name in (
+            "posterior_mean", "posterior_var", "ci_range",
+            "posterior_mean_pix", "posterior_var_pix", "ci_range_pix",
+        ):
             if hasattr(mcmc, name):
                 f.create_dataset(name, data=np.asarray(getattr(mcmc, name)))
+        if getattr(mcmc, "MAP_X", None) is not None:
+            f.create_dataset("MAP", data=np.asarray(mcmc.MAP_X))
+            f.create_dataset("MAP_logposterior", data=np.asarray(mcmc.MAP_logpi))
 
         for attr, val in params.__dict__.items():
             f.attrs[attr] = val

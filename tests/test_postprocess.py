@@ -293,6 +293,98 @@ def test_summary_checkpoint_resume(simpledata, tmp_path):
     assert np.allclose(resumed.ci_range, full.ci_range, atol=1e-12)
 
 
+def _wavelet_sampler(simpledata, L, B, J_min, track, seed=3, **over):
+    from pxmcmc_tpu.forward import SphericalWaveletTransformOperator
+    from pxmcmc_tpu.prior import S2_Wavelets_L1
+
+    fwd = SphericalWaveletTransformOperator(simpledata, 0.5, "synthesis", L, B, J_min)
+    kw = dict(nsamples=400, nburn=20, ngap=1, verbosity=0, delta=1e-4,
+              lmda=1e-4, nchains=2)
+    kw.update(over)
+    params = PxMCMCParams(track=track, **kw)
+    prior = S2_Wavelets_L1(
+        "synthesis", fwd.transform.inverse, fwd.transform.inverse_adjoint,
+        params.lmda, L=L, B=B, J_min=J_min,
+    )
+    return MYULA(fwd, prior, params, seed=seed)
+
+
+def test_summary_pixel_and_map_tracking(simpledata, L, B, J_min):
+    """track='summary_pixel' streams pixel-space mean/var/CI maps (the
+    production products) and track='map' keeps the running MAP sample —
+    both O(nparams) memory, validated against a chain-tracked run."""
+    track = ["logposterior", "chain", "summary", "summary_pixel", "map"]
+    s = _wavelet_sampler(simpledata, L, B, J_min, track)
+    s.run()
+    npix = len(simpledata)
+    assert s.posterior_mean_pix.shape == (npix,)
+
+    # pixel mean == mean of the synthesised chain (same records)
+    import jax.numpy as jnp
+
+    tr = s.forward.transform
+    chain_pix = np.asarray(
+        tr.inverse(jnp.asarray(s.chain.reshape(-1, s.chain.shape[-1])))
+    ).real
+    np.testing.assert_allclose(
+        s.posterior_mean_pix, chain_pix.mean(axis=0), atol=1e-8
+    )
+    np.testing.assert_allclose(
+        s.posterior_var_pix, chain_pix.var(axis=0), rtol=1e-5, atol=1e-12
+    )
+    # CI map: P^2 sketch vs exact quantiles of the same pixel records
+    exact_ci = uncertainty.credible_interval_range(chain_pix)
+    rel = np.abs(s.ci_range_pix - exact_ci) / np.maximum(exact_ci, 1e-12)
+    assert np.median(rel) < 0.1, np.median(rel)
+
+    # MAP: exactly the argmax-logposterior recorded sample
+    flat_lp = s.logPi.reshape(-1)
+    k = int(np.argmax(flat_lp))
+    bi, ci = divmod(k, s.nchains)
+    np.testing.assert_allclose(s.MAP_X, s.chain[bi, ci], atol=1e-12)
+    assert s.MAP_logpi == pytest.approx(flat_lp[k])
+
+
+def test_map_requires_logposterior(simpledata, L, B, J_min):
+    s = _wavelet_sampler(simpledata, L, B, J_min, ["map"], nsamples=2)
+    with pytest.raises(ValueError, match="logposterior"):
+        s.run()
+
+
+def test_summary_pixel_map_checkpoint_resume(simpledata, L, B, J_min, tmp_path):
+    """Pixel summary and MAP state ride checkpoints."""
+    track = ["logposterior", "summary", "summary_pixel", "map"]
+    full = _wavelet_sampler(simpledata, L, B, J_min, track, nsamples=100)
+    full.run(superblock=25)
+
+    ck = str(tmp_path / "pix.npz")
+    part = _wavelet_sampler(simpledata, L, B, J_min, track, nsamples=50)
+    part.run(superblock=25, checkpoint_path=ck, checkpoint_every=25)
+    resumed = _wavelet_sampler(simpledata, L, B, J_min, track, nsamples=100)
+    resumed.run(superblock=25, checkpoint_path=ck, checkpoint_every=25)
+    np.testing.assert_allclose(
+        resumed.posterior_mean_pix, full.posterior_mean_pix, atol=1e-12
+    )
+    np.testing.assert_allclose(resumed.ci_range_pix, full.ci_range_pix, atol=1e-12)
+    np.testing.assert_allclose(resumed.MAP_X, full.MAP_X, atol=1e-12)
+
+
+def test_save_load_summary_products(simpledata, L, B, J_min, tmp_path):
+    """HDF5 round-trip of the summary/pixel/MAP production datasets."""
+    from pxmcmc_tpu.saving import load_mcmc, save_mcmc
+
+    track = ["logposterior", "summary", "summary_pixel", "map"]
+    s = _wavelet_sampler(simpledata, L, B, J_min, track, nsamples=50)
+    s.run()
+    save_mcmc(s, s.params, str(tmp_path), filename="prod", L=L, B=B, J_min=J_min)
+    data, attrs = load_mcmc(str(tmp_path / "prod.hdf5"))
+    for name in ("posterior_mean", "ci_range", "posterior_mean_pix",
+                 "ci_range_pix", "MAP", "MAP_logposterior"):
+        assert name in data, name
+    assert "chain" not in data
+    np.testing.assert_allclose(data["MAP"], s.MAP_X)
+
+
 def test_plot_map_coasts_overlay():
     """coasts=True overlays the bundled ETOPO1 zero-contour coastline
     (cartopy-free replacement for ref plotting.py:79-83)."""
