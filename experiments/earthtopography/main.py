@@ -69,6 +69,12 @@ parser.add_argument("--pyramid", action=argparse.BooleanOptionalAction,
                     help="Per-scale pyramid state layout (default; ~15%% "
                          "faster steps than --no-pyramid's flat layout, "
                          "different noise stream).")
+parser.add_argument("--start", type=str, default="laplace",
+                    choices=["laplace", "data"],
+                    help="Chain start point: 'laplace' random (the "
+                         "reference's choice) or 'data' — the wavelet "
+                         "analysis of the observed map, a warm start that "
+                         "cuts burn-in on production runs.")
 
 
 def load_topo(infile, L):
@@ -177,8 +183,18 @@ def main(args):
         raise ValueError(f"algo must be one of {list(algos)}")
     mcmc = algos[args.algo](forwardop, regulariser, params, seed=args.seed)
 
+    start_point = None
+    if args.start == "data":
+        # warm start at the analysis coefficients of the observed map
+        # (synthesis setting) or the map itself (analysis setting)
+        obs = to_device(np.asarray(topo_d / 1000))
+        start_point = to_host(
+            forwardop.transform.forward(obs) if setting == "synthesis" else obs
+        ).real
+
     NOW = datetime.datetime.now()
     mcmc.run(
+        start_point=start_point,
         checkpoint_path=args.checkpoint,
         checkpoint_every=args.checkpoint_every,
         profile_dir=args.profile_dir,
