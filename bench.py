@@ -36,11 +36,14 @@ CONFIG = os.environ.get("PXMCMC_BENCH_CONFIG", "earthtopography")
 #:   phasevel                 path-integral (dense matvec) measurement at the
 #:                            paper bandlimit L=28
 #:   weaklensing              masked spin-0/2 chain (stacked-real fast path)
-_DEFAULT_L = {"phasevel": 28}
+_DEFAULT_L = {"phasevel": 28, "directional": 128}
 L_BENCH = int(
     os.environ.get("PXMCMC_BENCH_L", _DEFAULT_L.get(CONFIG, 256))
 )
-NCHAINS = int(os.environ.get("PXMCMC_BENCH_CHAINS", 256))
+_DEFAULT_CHAINS = {"directional": 128}
+NCHAINS = int(
+    os.environ.get("PXMCMC_BENCH_CHAINS", _DEFAULT_CHAINS.get(CONFIG, 256))
+)
 BASELINE_CACHE = os.path.join(REPO, ".cache", f"bench_baseline_{CONFIG}.json")
 
 
@@ -55,6 +58,7 @@ def build_step(L, nchains, seed=0):
     from pxmcmc_tpu.prior import S2_Wavelets_L1
 
     B, J_min = (1.5, 2) if CONFIG.startswith("earthtopography") or CONFIG == "pxmala" else (2, 2)
+    dirs = int(os.environ.get("PXMCMC_BENCH_DIRS", 3)) if CONFIG == "directional" else 1
     rng = np.random.default_rng(0)
     # Synthetic smooth data field, generated host-side in numpy so bench setup
     # never round-trips the device (the axon tunnel's host transfers can be
@@ -112,12 +116,16 @@ def build_step(L, nchains, seed=0):
         )
         prior_cls = S2_Wavelets_L1_Power_Weights
     else:
+        # 'earthtopography', 'earthtopography-analysis', 'pxmala',
+        # 'directional' (dirs=3 SO(3) wavelet grids, ref transforms.py:71-98)
         from pxmcmc_tpu.forward import SphericalWaveletTransformOperator
 
-        fwd = SphericalWaveletTransformOperator(data, 0.1, setting, L, B, J_min)
+        fwd = SphericalWaveletTransformOperator(
+            data, 0.1, setting, L, B, J_min, dirs=dirs
+        )
     prior = prior_cls(
         setting, fwd.transform.inverse, fwd.transform.inverse_adjoint,
-        params.lmda * params.mu, L=L, B=B, J_min=J_min,
+        params.lmda * params.mu, L=L, B=B, J_min=J_min, dirs=dirs,
     )
     sampler = sampler_cls(fwd, prior, params, seed=seed)
     return sampler
