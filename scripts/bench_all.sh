@@ -6,10 +6,11 @@ set -u
 cd "$(dirname "$0")/.."
 OUT=bench_all.jsonl
 : > "$OUT"
-for c in earthtopography earthtopography-analysis pxmala phasevel weaklensing; do
+mkdir -p bench_logs
+for c in earthtopography earthtopography-analysis pxmala phasevel weaklensing directional; do
   echo "=== $c ===" >&2
   line=$(PXMCMC_BENCH_CONFIG=$c timeout "${PXMCMC_BENCH_TIMEOUT:-3000}" \
-    python bench.py 2>> "bench_${c}_stderr.log")
+    python bench.py 2>> "bench_logs/bench_${c}_stderr.log")
   rc=$?
   echo "{\"config\": \"$c\", \"rc\": $rc, \"result\": ${line:-null}}" >> "$OUT"
   echo "$line" >&2
