@@ -487,16 +487,35 @@ class PxMCMC:
         def exec_superblock(state, j0, nblk):
             return superblock_j(captures, state, sample_key, jnp.asarray(j0), nblk)
 
-        # burn-in
+        # burn-in, in bounded chunks: one XLA program per <= chunk steps.
+        # A production nburn (thousands of iterations x hundreds of chains)
+        # as a single scan is a multi-minute device program, which relayed
+        # TPU backends kill with an UNAVAILABLE deadline fault; chunking
+        # keeps each dispatch seconds long at identical sample streams
+        # (each chunk's keys derive from (burn key, chunk index)).
         if self.nburn > 0:
-            def _burn(state, key):
-                keys = jax.random.split(key, self.nburn)
+            chunk = int(os.environ.get("PXMCMC_BURN_CHUNK", 1000))
+
+            def _burn(state, key, i0, n):
+                # per-step keys from the absolute burn index, so the stream
+                # is invariant to the chunk size (same scheme as the
+                # sampling superblocks)
+                keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+                    i0 + jnp.arange(n)
+                )
                 state, _ = jax.lax.scan(self._build_step(), state, keys)
                 return state
 
-            burn = jax.jit(threader.wrap(_burn))
+            burn = jax.jit(threader.wrap(_burn), static_argnums=4)
             key, bkey = jax.random.split(key)
-            state = burn(captures, state, bkey)
+            done = 0
+            while done < self.nburn:
+                n = min(chunk, self.nburn - done)
+                state = burn(captures, state, bkey, jnp.asarray(done), n)
+                jax.block_until_ready(state.X)
+                done += n
+                if self.verbosity > 0 and self.nburn > chunk:
+                    print(f"Burning in... {done:,}/{self.nburn:,}")
 
         # sampling in superblocks
         self._alloc_tracking()

@@ -59,6 +59,20 @@ def test_initial_sample_failure(algo, simpledata):
         algo.run(simpledata[:5])
 
 
+def test_burn_chunk_invariance(forwardop, prox, monkeypatch):
+    """Burn-in executes in bounded chunks (one device program per chunk, so
+    relayed backends never see a multi-minute dispatch); per-step keys come
+    from the absolute burn index, so the chain is bit-identical under any
+    chunk size."""
+    params = PxMCMCParams(nsamples=6, nburn=25, ngap=2, verbosity=0, nchains=2)
+    a = MYULA(forwardop, prox, params, seed=4)
+    a.run()
+    monkeypatch.setenv("PXMCMC_BURN_CHUNK", "7")
+    b = MYULA(forwardop, prox, params, seed=4)
+    b.run()
+    np.testing.assert_array_equal(a.chain, b.chain)
+
+
 def test_multichain(forwardop, prox):
     params = PxMCMCParams(nsamples=20, nburn=5, ngap=2, verbosity=0, nchains=4)
     mcmc = MYULA(forwardop, prox, params)
