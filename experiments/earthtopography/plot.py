@@ -37,6 +37,8 @@ def filename(name, ext="png"):
 
 os.makedirs(args.directory, exist_ok=True)
 data, params = load_mcmc(args.datafile)
+# big run metadata spills from attrs to datasets (saving.py); read either
+_noise = params["noise"] if "noise" in params else data.get("noise")
 L, B, J_min = int(params["L"]), float(params["B"]), int(params["J_min"])
 setting = params.get("setting", "synthesis")
 mw_shape = sample_shape(L)
@@ -86,8 +88,8 @@ if "chain" not in data:
         plotting.plot_map(diff, title="True - MAP", cmap="PuOr",
                           vmin=-cbar_end, vmax=cbar_end).savefig(filename("diff"))
         print(f"MAP SNR: {float(snr(truth, diff)):.2f} dB")
-    if "noise" in params and np.any(params["noise"]):
-        noise = np.asarray(params["noise"]).reshape(mw_shape) / 1000
+    if _noise is not None and np.any(_noise):
+        noise = np.asarray(_noise).reshape(mw_shape) / 1000
         plotting.plot_map(noise, title="Added noise", cmap="binary",
                           oversample=False).savefig(filename("noise"))
         print(f"Input SNR: {float(snr(truth, noise)):.2f} dB")
@@ -142,8 +144,8 @@ cbar_end = max(abs(diff_mean.min()), diff_mean.max())
 plotting.plot_map(diff_mean, title="True - mean", cmap="PuOr",
                   vmin=-cbar_end, vmax=cbar_end).savefig(filename("diff_mean"))
 
-if "noise" in params and np.any(params["noise"]):
-    noise = np.asarray(params["noise"]).reshape(mw_shape) / 1000
+if _noise is not None and np.any(_noise):
+    noise = np.asarray(_noise).reshape(mw_shape) / 1000
     plotting.plot_map(noise, title="Added noise", cmap="binary",
                       oversample=False).savefig(filename("noise"))
     print(f"Input SNR: {float(snr(truth, noise)):.2f} dB")

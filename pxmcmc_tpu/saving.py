@@ -66,7 +66,15 @@ def save_mcmc(mcmc, params, outpath, filename="outputs", **kwargs):
         for attr, val in params.__dict__.items():
             f.attrs[attr] = val
         for k, v in kwargs.items():
-            f.attrs[k] = v
+            arr = np.asarray(v)
+            if arr.nbytes > 16384:
+                # HDF5 caps attributes at 64 KB; big run metadata (e.g. the
+                # L=256 noise realisation) becomes a dataset instead.  The
+                # reference writes every kwarg as an attr (saving.py:33-35),
+                # which only works at toy bandlimits.
+                f.create_dataset(k, data=arr)
+            else:
+                f.attrs[k] = v
 
 
 def load_mcmc(path):
