@@ -96,8 +96,8 @@ def main(args):
 
     params = PxMCMCParams(
         nsamples=args.nsamples,
-        nburn=0,
-        ngap=int(5e2),
+        nburn=args.nburn,
+        ngap=args.ngap,
         delta=args.delta,
         lmda=args.delta / 2,
         mu=args.mu,
@@ -105,6 +105,7 @@ def main(args):
         verbosity=1e3,
         s=10,
         nchains=args.nchains,
+        track=tuple(t.strip() for t in args.track.split(",") if t.strip()),
     )
 
     regulariser = S2_Wavelets_L1_Power_Weights(
@@ -127,7 +128,11 @@ def main(args):
     mcmc = algos[args.algo](forwardop, regulariser, params, seed=args.seed)
 
     NOW = datetime.datetime.now()
-    mcmc.run()
+    mcmc.run(
+        checkpoint_path=args.checkpoint,
+        checkpoint_every=args.checkpoint_every,
+        profile_dir=args.profile_dir,
+    )
 
     # Post-run convergence diagnostics (beyond-reference; SURVEY.md §5)
     if hasattr(mcmc, "chain"):
@@ -177,6 +182,18 @@ if __name__ == "__main__":
     parser.add_argument("--nsim", action="store_true",
                         help="Weight errors by number of similar paths.")
     parser.add_argument("--nsamples", type=int, default=int(2e3))
+    parser.add_argument("--nburn", type=int, default=0)
+    parser.add_argument("--ngap", type=int, default=int(5e2))
     parser.add_argument("--nchains", type=int, default=1)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--track", type=str,
+                        default="logposterior,L2,prior,chain",
+                        help="Comma list of tracked quantities; add "
+                             "'summary'/'summary_pixel'/'map' for streamed "
+                             "production products (no chain storage).")
+    parser.add_argument("--checkpoint", type=str, default=None,
+                        help=".npz checkpoint path (resumes if it exists).")
+    parser.add_argument("--checkpoint-every", type=int, default=None)
+    parser.add_argument("--profile-dir", type=str, default=None,
+                        help="Capture a jax.profiler trace of one superblock.")
     main(parser.parse_args())

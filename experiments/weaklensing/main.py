@@ -91,13 +91,14 @@ def main(args):
     params = PxMCMCParams(
         nsamples=args.nsamples,
         nburn=args.nburn,
-        ngap=int(500),
+        ngap=args.ngap,
         delta=args.delta,
         lmda=args.delta / 2,
         mu=args.mu,
         complex=False,
         verbosity=1e3,
         nchains=args.nchains,
+        track=tuple(t.strip() for t in args.track.split(",") if t.strip()),
         pyramid_state=args.pyramid,
     )
 
@@ -120,7 +121,11 @@ def main(args):
     mcmc = algos[args.algo](forward_operator, prior, params, seed=args.seed)
 
     NOW = datetime.datetime.now()
-    mcmc.run()
+    mcmc.run(
+        checkpoint_path=args.checkpoint,
+        checkpoint_every=args.checkpoint_every,
+        profile_dir=args.profile_dir,
+    )
 
     # Post-run convergence diagnostics (beyond-reference; SURVEY.md §5)
     if hasattr(mcmc, "chain"):
@@ -162,8 +167,19 @@ if __name__ == "__main__":
     parser.add_argument("--L", type=int, default=512)
     parser.add_argument("--nsamples", type=int, default=int(5e3))
     parser.add_argument("--nburn", type=int, default=0)
+    parser.add_argument("--ngap", type=int, default=int(5e2))
     parser.add_argument("--nchains", type=int, default=1)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--track", type=str,
+                        default="logposterior,L2,prior,chain",
+                        help="Comma list of tracked quantities; add "
+                             "'summary'/'summary_pixel'/'map' for streamed "
+                             "production products (no chain storage).")
+    parser.add_argument("--checkpoint", type=str, default=None,
+                        help=".npz checkpoint path (resumes if it exists).")
+    parser.add_argument("--checkpoint-every", type=int, default=None)
+    parser.add_argument("--profile-dir", type=str, default=None,
+                        help="Capture a jax.profiler trace of one superblock.")
     parser.add_argument("--pyramid", action=argparse.BooleanOptionalAction,
                         default=True,
                         help="Per-scale pyramid state layout (default; "
