@@ -100,27 +100,51 @@ def _wigner_scan(
     logC: jax.Array,
     dtype=jnp.float32,
 ) -> jax.Array:
-    """lax.scan over degree l; carry is the (2L-1, T) pair (d^{l-1}, d^l)."""
+    """lax.scan over degree l; carry is the (2L-1, T) pair (d^{l-1}, d^l).
+
+    The recursion runs in **mantissa + power-of-2 exponent** form: near the
+    poles the seed d^{l0}_{mn} underflows f32 (values down to ~1e-2900 at
+    L=512) while the recursed values at higher l climb back into normal f32
+    range.  A plain-f32 recursion flushes the seed to zero and can never
+    recover, leaving rank-deficient Lambda_m blocks whose f32 Gram acquires
+    *negative* roundoff eigenvalues — which made the Newton-Schulz pinv
+    diverge to NaN at L=512 (round-4 finding; round-3's L=512 it/s rows ran
+    on those NaN tables).  With per-(m, theta) exponent tracking the
+    mantissas stay in [2^-32, 2^32], every rescale is an exact power-of-2
+    multiply, and a value is flushed to zero only at *emission*, exactly
+    where an f32 cast of the host f64 table would flush it.
+    """
     thetas = thetas.astype(dtype)
     x = jnp.cos(thetas)[None, :]  # (1, T)
-    logc = jnp.log(jnp.maximum(jnp.abs(jnp.cos(thetas / 2.0)), 1e-30))
-    logsb = jnp.log(jnp.maximum(jnp.abs(jnp.sin(thetas / 2.0)), 1e-30))
-    # Seeds (2L-1, T); exp underflow -> 0 is the correct flush at this dtype.
-    seed = (sgn[:, None] * jnp.exp(logC[:, None] + pc[:, None] * logc[None, :]
-                                   + ps[:, None] * logsb[None, :])).astype(dtype)
+    log2c = jnp.log2(jnp.maximum(jnp.abs(jnp.cos(thetas / 2.0)), 1e-30))
+    log2sb = jnp.log2(jnp.maximum(jnp.abs(jnp.sin(thetas / 2.0)), 1e-30))
+    ln2 = np.log(2.0)
+    # Seed as (mantissa in [1,2), integer exponent): exact at any magnitude.
+    seed_log2 = (
+        logC[:, None] / ln2 + pc[:, None] * log2c[None, :]
+        + ps[:, None] * log2sb[None, :]
+    )
+    seed_e = jnp.floor(seed_log2)
+    seed_mant = (sgn[:, None] * jnp.exp2(seed_log2 - seed_e)).astype(dtype)
+    seed_e = seed_e.astype(jnp.int32)
     ms = jnp.arange(-(L - 1), L, dtype=dtype)[:, None]  # (2L-1, 1)
     nf = dtype(float(n)) if callable(dtype) else jnp.asarray(float(n), dtype)
 
     d0 = jnp.zeros((2 * L - 1, thetas.size), dtype=dtype)
+    e0 = jnp.zeros((2 * L - 1, thetas.size), dtype=jnp.int32)
+    two32 = jnp.asarray(2.0, dtype) ** 32
+    scale_up = jnp.asarray(2.0, dtype) ** 64
+    scale_dn = jnp.asarray(2.0, dtype) ** -64
 
     def body(carry, l):
-        d_lm1, d_l = carry
+        d_lm1, d_l, e = carry
         lf = l.astype(dtype)
         starting = (l0 == l)[:, None]
-        d_l = jnp.where(starting, seed, d_l)
+        d_l = jnp.where(starting, seed_mant, d_l)
         d_lm1 = jnp.where(starting, 0.0, d_lm1)
+        e = jnp.where(starting, seed_e, e)
         active = (l0 <= l)[:, None]
-        out = jnp.where(active, d_l, 0.0)
+        out = jnp.where(active, jnp.ldexp(d_l, e), 0.0)
         # advance l -> l+1 (three-term recursion; guarded 0/0 at inactive rows)
         a_num = (2 * lf + 1) * (lf * (lf + 1) * x - ms * nf)
         b_num = (lf + 1) * jnp.sqrt(jnp.maximum(lf**2 - ms**2, 0.0)) * jnp.sqrt(
@@ -135,9 +159,18 @@ def _wigner_scan(
         d_next = jnp.where(l == 0, x * d_l, general)
         d_lm1 = jnp.where(active, d_l, d_lm1)
         d_l = jnp.where(active, d_next, d_l)
-        return (d_lm1, d_l), out
+        # keep mantissas in [2^-32, 2^32] (exact power-of-2 rescales)
+        mag = jnp.maximum(jnp.abs(d_l), jnp.abs(d_lm1))
+        big = mag > two32
+        small = (mag > 0) & (mag < 1.0 / two32)
+        factor = jnp.where(big, scale_dn, jnp.where(small, scale_up, 1.0))
+        shift = jnp.where(big, 64, jnp.where(small, -64, 0)).astype(jnp.int32)
+        d_l = d_l * factor
+        d_lm1 = d_lm1 * factor
+        e = e + shift
+        return (d_lm1, d_l, e), out
 
-    _, cols = jax.lax.scan(body, (d0, d0), jnp.arange(L, dtype=jnp.int32))
+    _, cols = jax.lax.scan(body, (d0, d0, e0), jnp.arange(L, dtype=jnp.int32))
     return jnp.moveaxis(cols, 0, -1)  # (2L-1, T, L)
 
 

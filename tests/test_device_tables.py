@@ -42,6 +42,32 @@ def test_lambda_f32_close_to_host(spin):
     np.testing.assert_allclose(dev, host, atol=5e-5)
 
 
+def test_lambda_f32_recovers_from_seed_underflow(spin):
+    """Round-4 regression: near the poles the recursion seed underflows f32
+    (down to ~1e-2900 at L=512) while the recursed values at higher l climb
+    back into normal f32 range.  A plain-f32 recursion flushed the seed to
+    zero and never recovered, leaving rank-deficient Lambda blocks whose f32
+    Gram acquired negative roundoff eigenvalues — the Newton-Schulz pinv
+    then diverged to NaN at L=512.  The exponent-tracked recursion must
+    populate every entry the f32 cast of the host f64 table has."""
+    L = 96
+    thetas, _ = sampling.sample_positions(L)
+    host32 = spin_lambda_table(L, spin, thetas).astype(np.float32)
+    dev = np.asarray(spin_lambda_device(L, spin, dtype=jnp.float32))
+    # the old flush: zeros where the host cast is clearly nonzero
+    assert int(((dev == 0) & (np.abs(host32) > 1e-37)).sum()) == 0
+    # scaled accuracy: error relative to each (m, l) column's magnitude
+    colmax = np.abs(host32).max(axis=1, keepdims=True) + 1e-30
+    assert (np.abs(dev - host32.astype(np.float64)) / colmax).max() < 2e-4
+    # the Gram of every m >= 0 block stays numerically PSD (the property
+    # whose violation made Newton-Schulz diverge)
+    for mi in range(L - 1, 2 * L - 1):
+        A = dev[mi].astype(np.float64)
+        G32 = (A.astype(np.float32).T @ A.astype(np.float32)).astype(np.float64)
+        w = np.linalg.eigvalsh(G32)
+        assert w.min() > -1e-5 * max(w.max(), 1.0), (mi - (L - 1), w.min())
+
+
 def test_pinv_matches_host_svd(spin):
     L = 16
     lam = spin_lambda_device(L, spin, dtype=jnp.float64)
