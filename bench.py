@@ -33,6 +33,7 @@ CONFIG = os.environ.get("PXMCMC_BENCH_CONFIG", "earthtopography")
 #:   earthtopography-analysis MYULA analysis formulation (prox through the
 #:                            wavelet transform; no Gram path)
 #:   pxmala                   PxMALA with MH accept/reject on earthtopography
+#:   skrock                   SK-ROCK (s=10 Chebyshev stages) on earthtopography
 #:   phasevel                 path-integral (dense matvec) measurement at the
 #:                            paper bandlimit L=28
 #:   weaklensing              masked spin-0/2 chain (stacked-real fast path)
@@ -57,7 +58,11 @@ def build_step(L, nchains, seed=0):
     from pxmcmc_tpu.mcmc import MYULA, PxMALA, PxMCMCParams
     from pxmcmc_tpu.prior import S2_Wavelets_L1
 
-    B, J_min = (1.5, 2) if CONFIG.startswith("earthtopography") or CONFIG == "pxmala" else (2, 2)
+    B, J_min = (
+        (1.5, 2)
+        if CONFIG.startswith("earthtopography") or CONFIG in ("pxmala", "skrock")
+        else (2, 2)
+    )
     dirs = int(os.environ.get("PXMCMC_BENCH_DIRS", 3)) if CONFIG == "directional" else 1
     rng = np.random.default_rng(0)
     # Synthetic smooth data field, generated host-side in numpy so bench setup
@@ -70,6 +75,7 @@ def build_step(L, nchains, seed=0):
     params = PxMCMCParams(
         nsamples=1, nburn=0, ngap=1, delta=1e-6, lmda=1e-6, mu=1,
         verbosity=0, nchains=nchains,
+        s=int(os.environ.get("PXMCMC_BENCH_S", 10)),  # SKROCK stages (ref s=10)
         fused_step=bool(int(os.environ.get("PXMCMC_BENCH_FUSED", "0"))),
         # pyramid state layout (MYULA/PxMALA/SKROCK on the Gram or WL fast
         # paths; the analysis setting gets the block prox regardless) — the
@@ -77,7 +83,9 @@ def build_step(L, nchains, seed=0):
         pyramid_state=bool(int(os.environ.get("PXMCMC_BENCH_PYRAMID", "1"))),
     )
     setting = "analysis" if CONFIG == "earthtopography-analysis" else "synthesis"
-    sampler_cls = PxMALA if CONFIG == "pxmala" else MYULA
+    from pxmcmc_tpu.mcmc import SKROCK
+
+    sampler_cls = {"pxmala": PxMALA, "skrock": SKROCK}.get(CONFIG, MYULA)
     prior_cls = S2_Wavelets_L1
     if CONFIG == "weaklensing":
         # full WL chain: spin-0/2 SHTs, harmonic kernel, mask, ngal covariance
@@ -365,7 +373,7 @@ def main():
     value, ess_per_s = measure(
         L_BENCH, NCHAINS, niter=int(os.environ.get("PXMCMC_BENCH_NITER", 20))
     )
-    algo = "PxMALA" if CONFIG == "pxmala" else "MYULA"
+    algo = {"pxmala": "PxMALA", "skrock": "SKROCK"}.get(CONFIG, "MYULA")
     out = {
         "metric": f"aggregate {algo} chain-iterations/s, {CONFIG} L={L_BENCH}, {NCHAINS} chains",
         "value": round(value, 1),

@@ -7,7 +7,7 @@ cd "$(dirname "$0")/.."
 OUT=bench_all.jsonl
 : > "$OUT"
 mkdir -p bench_logs
-for c in earthtopography earthtopography-analysis pxmala phasevel weaklensing directional; do
+for c in earthtopography earthtopography-analysis pxmala skrock phasevel weaklensing directional; do
   echo "=== $c ===" >&2
   line=$(PXMCMC_BENCH_CONFIG=$c timeout "${PXMCMC_BENCH_TIMEOUT:-3000}" \
     python bench.py 2>> "bench_logs/bench_${c}_stderr.log")
