@@ -36,6 +36,17 @@ _prng = os.environ.get("PXMCMC_PRNG")
 if _prng:
     jax.config.update("jax_default_prng_impl", _prng)
 
+# Optional matmul precision override (PXMCMC_MATMUL_PRECISION=
+# bfloat16|tensorfloat32|float32|highest).  On TPU, XLA's DEFAULT f32
+# matmul runs multi-pass bf16 accumulation; 'bfloat16' selects the
+# single-pass mode (~3x the GEMM rate at ~1e-3 relative transform error).
+# Opt-in: the round-4 profile shows the Gram GEMM pipeline at ~88% of the
+# MYULA step, so this is the single biggest throughput knob — see BENCH.md
+# for measured speed and accuracy.
+_mp = os.environ.get("PXMCMC_MATMUL_PRECISION")
+if _mp:
+    jax.config.update("jax_default_matmul_precision", _mp)
+
 # Persistent XLA compilation cache: first compile of the L=256 sampler step
 # is ~10 min on a v5e (round-1 VERDICT weak #2); cached reloads are seconds.
 # Keyed by program + compiler version, so it is always safe to keep on.
