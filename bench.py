@@ -257,7 +257,10 @@ def measure(L, nchains, niter, nrep=3):
                 state, delta=jnp.full_like(state.delta, delta_ess)
             )
 
-        nrec = min(4096, sampler.forward.nparams)
+        nrec = min(
+            int(os.environ.get("PXMCMC_BENCH_ESS_COEFS", 4096)),
+            sampler.forward.nparams,
+        )
         rec_idx_np = np.sort(
             np.random.default_rng(123).choice(
                 sampler.forward.nparams, size=nrec, replace=False

@@ -106,6 +106,59 @@ class TestUtilsOracles:
         np.testing.assert_allclose(np.asarray(s_o), s_t, rtol=1e-14)
 
 
+class TestMeasurementOracles:
+    """Measurement-layer parity against the executing reference (both
+    classes below are pure numpy/scipy in the reference — no C calls)."""
+
+    def test_path_integral(self, ref, rng):
+        from scipy import sparse
+
+        from pxmcmc_tpu.measurements import PathIntegral
+
+        npaths, npix = 23, 57
+        dense = rng.standard_normal((npaths, npix)) * (
+            rng.random((npaths, npix)) < 0.2
+        )
+        A = sparse.csr_matrix(dense)
+        theirs = ref.measurements.PathIntegral(A)
+        ours = PathIntegral(A)
+        x = rng.standard_normal(npix)
+        y = rng.standard_normal(npaths)
+        np.testing.assert_allclose(
+            np.asarray(ours.forward(jnp.asarray(x))), theirs.forward(x),
+            rtol=1e-6, atol=1e-8,
+        )
+        np.testing.assert_allclose(
+            np.asarray(ours.adjoint(jnp.asarray(y))), theirs.adjoint(y),
+            rtol=1e-6, atol=1e-8,
+        )
+
+    def test_weak_lensing_harmonic(self, ref, rng):
+        from pxmcmc_tpu.measurements import WeakLensingHarmonic
+
+        L = 24
+        theirs = ref.measurements.WeakLensingHarmonic(L)
+        ours = WeakLensingHarmonic(L)
+        # the kernel itself (ref measurements.py:153-161), modulo our masked
+        # l<2 placeholder entries (both mappings zero them)
+        k_t = theirs.harmonic_kernel
+        k_o = np.asarray(ours.harmonic_kernel)
+        np.testing.assert_allclose(k_o[4:], k_t[4:], rtol=1e-12)
+        flm = rng.standard_normal(L * L) + 1j * rng.standard_normal(L * L)
+        np.testing.assert_allclose(
+            np.asarray(ours.forward(jnp.asarray(flm))),
+            theirs.forward(flm.copy()), rtol=1e-6, atol=1e-9,
+        )
+        np.testing.assert_allclose(
+            np.asarray(ours.adjoint(jnp.asarray(flm))),
+            theirs.adjoint(flm.copy()), rtol=1e-6, atol=1e-9,
+        )
+        np.testing.assert_allclose(
+            np.asarray(ours.sks_estimate(jnp.asarray(flm))),
+            theirs.sks_estimate(flm.copy()), rtol=1e-6, atol=1e-9,
+        )
+
+
 # ---------------------------------------------------------------------------
 # model builders: identical Identity-operator posteriors on both sides
 # ---------------------------------------------------------------------------
