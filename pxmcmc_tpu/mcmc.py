@@ -178,6 +178,14 @@ class PxMCMC:
         self._gram_b = self._cast(tr.inverse_adjoint(y_weighted))
         if self._pyramid_ok():
             self._gram_b_blocks = self._split_X(self._gram_b)
+            if os.environ.get("PXMCMC_GRAM_FUSED", "0") == "1":
+                # fold the Gram apply into the adjoint theta tables (one
+                # fewer m-batched GEMV + no full-grid H intermediate per
+                # step); opt-in — sums associate differently, so sample
+                # streams shift by f32 roundoff
+                from .ops.wavelets import build_gram_qg
+
+                self._gram_qg = build_gram_qg(tr.basis, self._gram)
 
     def _gram_gradg(self, X):
         from .ops.wavelets import gram_gradient_real
@@ -307,11 +315,19 @@ class PxMCMC:
         return X if isinstance(X, jax.Array) else jnp.concatenate(X, axis=-1)
 
     def _gram_gradg_blocks(self, blocks):
-        from .ops.wavelets import gram_gradient_real_blocks
-
-        stsx = gram_gradient_real_blocks(
-            blocks, self.forward.transform.basis, self._gram
+        from .ops.wavelets import (
+            gram_gradient_real_blocks,
+            gram_gradient_real_blocks_fused,
         )
+
+        if getattr(self, "_gram_qg", None) is not None:
+            stsx = gram_gradient_real_blocks_fused(
+                blocks, self.forward.transform.basis, self._gram_qg
+            )
+        else:
+            stsx = gram_gradient_real_blocks(
+                blocks, self.forward.transform.basis, self._gram
+            )
         return tuple(
             self.forward.invcov * s - b for s, b in zip(stsx, self._gram_b_blocks)
         )

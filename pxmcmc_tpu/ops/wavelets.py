@@ -476,6 +476,50 @@ def gram_gradient_real_blocks(blocks, wb: WaveletBasis, gram: jax.Array):
     return adjoint_scales_grid2_blocks(H, wb)
 
 
+def build_gram_qg(wb: WaveletBasis, gram: jax.Array) -> tuple:
+    """Precompose the Gram apply into each scale's adjoint theta table.
+
+    The unfused chain computes ``H_{ml} = sum_k gram_{mlk} G_{mk}`` once
+    (an m-batched GEMV over the full half-spectrum grid) and then, per
+    scale, ``Ft_{mt} = sum_l q_{mlt} kappa_l H_{ml}``.  Associativity
+    folds the two:
+
+        Ft_{mt} = sum_k [ sum_l q_{mlt} kappa_l gram_{mlk} ] G_{mk}
+                = sum_k QG_{mkt} G_{mk}
+
+    with the per-scale ``QG`` built once at setup — the Gram GEMV and the
+    full-grid ``H`` intermediate (~134 MB/step of HBM round-trip at
+    L=256/256 chains) disappear from the hot loop; each scale's adjoint
+    GEMM contracts over the full-L ``k`` axis instead of its own ``l``.
+
+    :return: tuple of per-scale (m<bl, k<=L, t) tables
+    """
+    out = []
+    for kap_l, basis, bl in zip(_kappa_grids(wb), wb.bases, wb.bandlimits):
+        q = basis.q[bl - 1 :]  # (m<bl, l<bl, t)
+        qk = q * kap_l[None, :, None]
+        out.append(
+            jnp.einsum(
+                "mlt,mlk->mkt", qk, gram[:bl, :bl, :],
+                preferred_element_type=q.dtype,
+            )
+        )
+    return tuple(out)
+
+
+def gram_gradient_real_blocks_fused(blocks, wb: WaveletBasis, qg: tuple):
+    """:func:`gram_gradient_real_blocks` with the Gram apply precomposed
+    into the adjoint theta tables (see :func:`build_gram_qg`).  Same
+    linear operator; floating-point sums associate differently."""
+    Ggrid = synthesis_grid2_blocks(blocks, wb)
+    out = []
+    for QG, basis, bl in zip(qg, wb.bases, wb.bandlimits):
+        Ft = sht._mm(QG, Ggrid[..., :bl, :], "mkt,...mk->...mt")
+        wmap = sht.phi_synth_r2(Ft, basis) / (2 * bl - 1)
+        out.append(wmap.reshape(wmap.shape[:-2] + (-1,)))
+    return tuple(out)
+
+
 def synthesis_grid2(X: jax.Array, wb: WaveletBasis) -> jax.Array:
     """Coefficient pyramid (real) -> stacked-real half-spectrum grid.
 

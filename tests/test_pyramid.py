@@ -45,6 +45,23 @@ def test_gram_gradient_blocks_match_flat(simpledata, L, B, J_min, rng):
     )
 
 
+def test_gram_fused_qg_matches_unfused(simpledata, L, B, J_min, rng, monkeypatch):
+    """PXMCMC_GRAM_FUSED=1 precomposes the Gram apply into the adjoint
+    theta tables (build_gram_qg); the gradient must equal the unfused
+    chain (same linear operator, different summation association)."""
+    monkeypatch.setenv("PXMCMC_GRAM_FUSED", "1")
+    s = _sampler(simpledata, L, B, J_min, pyramid=True)
+    s._prepare()
+    assert getattr(s, "_gram_qg", None) is not None
+    X = jnp.asarray(rng.standard_normal((3, s.forward.nparams)))
+    fused = s._gram_gradg_blocks(s._split_X(X))
+    s._gram_qg = None
+    unfused = s._gram_gradg_blocks(s._split_X(X))
+    for f, u in zip(fused, unfused):
+        np.testing.assert_allclose(np.asarray(f), np.asarray(u),
+                                   rtol=1e-9, atol=1e-11)
+
+
 def test_pyramid_step_equals_manual_flat(simpledata, L, B, J_min, rng):
     """One pyramid step == the flat-layout update evaluated with the same
     per-scale noise draws (gradient, threshold and update all exact)."""
