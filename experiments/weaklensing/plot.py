@@ -47,6 +47,53 @@ plotting.plot_evolution(logpi, data["L2s"], data["priors"]).savefig(
     filename("evolution")
 )
 
+def _truth_section(MAP, mean):
+    """SNR + predictive R2E against the ground-truth kappa (if given)."""
+    if not (args.truthfile and os.path.exists(args.truthfile)):
+        return
+    truth = np.load(args.truthfile).reshape(mw_shape)
+    diff_mean = truth - mean
+    plotting.plot_map(np.abs(diff_mean), title="|True - mean|", cmap="binary",
+                      vmin=0).savefig(filename("diffmean"))
+    if MAP is not None:
+        print(f"MAP SNR: {float(snr(truth[mask], (truth - MAP)[mask])):.2f} dB")
+    print(f"Mean SNR: {float(snr(truth[mask], diff_mean[mask])):.2f} dB")
+    wl = WeakLensing(L, mask)
+    data_obs = to_host(wl.forward(to_device(truth.flatten())))
+    rows = [("Mean", mean)] + ([("MAP", MAP)] if MAP is not None else [])
+    for name, m in rows:
+        preds = to_host(wl.forward(to_device(m.flatten())))
+        r2e = (float(norm(preds - data_obs)) / float(norm(data_obs))) ** 2
+        print(f"{name} R2E: {r2e:.2e}")
+
+
+if "chain" not in data:
+    # track='summary' production run: streamed pixel products, no chain
+    mean = np.asarray(data["posterior_mean_pix"]).real.reshape(mw_shape)
+    plotting.plot_map(mean, title="Mean solution", cmap="cividis").savefig(
+        filename("mean"))
+    if "ci_range_pix" in data:
+        ci_range = np.asarray(data["ci_range_pix"]).reshape(mw_shape)
+        plotting.plot_map(ci_range, title="95% credible interval range",
+                          cmap="viridis", vmin=0).savefig(filename("ci_map"))
+    MAP = None
+    if "MAP" in data:
+        MAP_X = np.asarray(data["MAP"])
+        MAP = (
+            to_host(wvlttrans.inverse(MAP_X)).real
+            if setting == "synthesis" else MAP_X.real
+        ).reshape(mw_shape)
+        plotting.plot_map(MAP, title="Maximum a posteriori solution",
+                          cmap="cividis").savefig(filename("MAP"))
+    _truth_section(MAP, mean)
+    if args.save_npy:
+        np.save(filename("mean", "npy"), mean)
+        if "ci_range_pix" in data:
+            np.save(filename("CI", "npy"), ci_range)
+        if MAP is not None:
+            np.save(filename("MAP", "npy"), MAP)
+    sys.exit(0)
+
 chain = data["chain"]
 if chain.ndim == 3:
     logpi = logpi.reshape(-1)
@@ -80,21 +127,7 @@ plotting.plot_map(mean, title="Mean solution", cmap="cividis").savefig(
     filename("mean")
 )
 
-if args.truthfile and os.path.exists(args.truthfile):
-    truth = np.load(args.truthfile).reshape(mw_shape)
-    diff = truth - MAP
-    diff_mean = truth - mean
-    plotting.plot_map(np.abs(diff_mean), title="|True - mean|", cmap="binary",
-                      vmin=0).savefig(filename("diffmean"))
-    print(f"MAP SNR: {float(snr(truth[mask], diff[mask])):.2f} dB")
-    print(f"Mean SNR: {float(snr(truth[mask], diff_mean[mask])):.2f} dB")
-
-    wl = WeakLensing(L, mask)
-    data_obs = to_host(wl.forward(to_device(truth.flatten())))
-    for name, m in [("MAP", MAP), ("Mean", mean)]:
-        preds = to_host(wl.forward(to_device(m.flatten())))
-        r2e = (float(norm(preds - data_obs)) / float(norm(data_obs))) ** 2
-        print(f"{name} R2E: {r2e:.2e}")
+_truth_section(MAP, mean)
 
 if args.save_npy:
     np.save(filename("mean", "npy"), mean)
