@@ -69,7 +69,7 @@ def synthetic_dataset(L, npaths=500, seed=11):
     sig_d = np.full(npaths, 0.05)
     data = A @ vel + rng.normal(0, sig_d)
     nsim = np.ones(npaths)
-    return start, stop, data, sig_d, np.zeros(npaths), nsim
+    return start, stop, data, sig_d, np.zeros(npaths), nsim, vel
 
 
 def main(args):
@@ -80,7 +80,11 @@ def main(args):
         start, stop, data, sig_d, _, nsim = read_datafile(args.infile)
     else:
         print(f"[synthetic] {args.infile} not found; generating synthetic paths")
-        start, stop, data, sig_d, _, nsim = synthetic_dataset(L)
+        start, stop, data, sig_d, _, nsim, vel_truth = synthetic_dataset(L)
+        # keep the ground truth next to the outputs so plot.py can print
+        # SNR/R2E (real-data runs have no truth map)
+        os.makedirs(args.outdir, exist_ok=True)
+        np.save(os.path.join(args.outdir, f"vel_truth_L{L}.npy"), vel_truth)
 
     if os.path.exists(args.pathsfile):
         path_matrix = sparse.load_npz(args.pathsfile)
