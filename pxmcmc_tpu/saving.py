@@ -72,7 +72,8 @@ def save_mcmc(mcmc, params, outpath, filename="outputs", **kwargs):
                 # L=256 noise realisation) becomes a dataset instead.  The
                 # reference writes every kwarg as an attr (saving.py:33-35),
                 # which only works at toy bandlimits.
-                f.create_dataset(k, data=arr)
+                name = k if k not in f else k + "_meta"
+                f.create_dataset(name, data=arr)
             else:
                 f.attrs[k] = v
 
