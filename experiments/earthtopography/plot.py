@@ -58,19 +58,21 @@ if "chain" not in data:
     #     of the coefficient mean (mean commutes with the linear synthesis)
     #   - CI-range map: pixel-space P^2 sketches ('summary_pixel' track)
     #   - MAP map + SNR: running device-side argmax ('map' track)
+    mean = diff_mean = None
     if "posterior_mean_pix" in data:
         mean = np.asarray(data["posterior_mean_pix"]).real.reshape(mw_shape)
-    else:
+    elif "posterior_mean" in data:
         pm = np.asarray(data["posterior_mean"])
         pm = pm.mean(axis=0) if pm.ndim == 2 else pm
         mean = (
             to_host(wvlttrans.inverse(pm)).real if setting == "synthesis" else pm.real
         ).reshape(mw_shape)
-    plotting.plot_map(mean, title="Mean solution").savefig(filename("mean"))
-    diff_mean = truth - mean
-    cbar_end = max(abs(diff_mean.min()), diff_mean.max())
-    plotting.plot_map(diff_mean, title="True - mean", cmap="PuOr",
-                      vmin=-cbar_end, vmax=cbar_end).savefig(filename("diff_mean"))
+    if mean is not None:  # map-only runs carry no summary datasets
+        plotting.plot_map(mean, title="Mean solution").savefig(filename("mean"))
+        diff_mean = truth - mean
+        cbar_end = max(abs(diff_mean.min()), diff_mean.max())
+        plotting.plot_map(diff_mean, title="True - mean", cmap="PuOr",
+                          vmin=-cbar_end, vmax=cbar_end).savefig(filename("diff_mean"))
     if "ci_range_pix" in data:
         ci_range = np.asarray(data["ci_range_pix"]).reshape(mw_shape)
         plotting.plot_map(ci_range, title="95% credible interval range",
@@ -93,9 +95,11 @@ if "chain" not in data:
         plotting.plot_map(noise, title="Added noise", cmap="binary",
                           oversample=False).savefig(filename("noise"))
         print(f"Input SNR: {float(snr(truth, noise)):.2f} dB")
-    print(f"Mean SNR: {float(snr(truth, diff_mean)):.2f} dB")
+    if diff_mean is not None:
+        print(f"Mean SNR: {float(snr(truth, diff_mean)):.2f} dB")
     if args.save_npy:
-        np.save(filename("mean", "npy"), mean)
+        if mean is not None:
+            np.save(filename("mean", "npy"), mean)
         if "ci_range_pix" in data:
             np.save(filename("CI", "npy"), ci_range)
         if "MAP" in data:

@@ -69,9 +69,19 @@ def _truth_section(MAP, mean):
 
 if "chain" not in data:
     # track='summary' production run: streamed pixel products, no chain
-    mean = np.asarray(data["posterior_mean_pix"]).real.reshape(mw_shape)
-    plotting.plot_map(mean, title="Mean solution", cmap="cividis").savefig(
-        filename("mean"))
+    mean = None
+    if "posterior_mean_pix" in data:
+        mean = np.asarray(data["posterior_mean_pix"]).real.reshape(mw_shape)
+    elif "posterior_mean" in data:
+        pm = np.asarray(data["posterior_mean"])
+        pm = pm.mean(axis=0) if pm.ndim == 2 else pm
+        mean = (
+            to_host(wvlttrans.inverse(pm)).real if setting == "synthesis"
+            else pm.real
+        ).reshape(mw_shape)
+    if mean is not None:
+        plotting.plot_map(mean, title="Mean solution", cmap="cividis").savefig(
+            filename("mean"))
     if "ci_range_pix" in data:
         ci_range = np.asarray(data["ci_range_pix"]).reshape(mw_shape)
         plotting.plot_map(ci_range, title="95% credible interval range",
@@ -85,9 +95,11 @@ if "chain" not in data:
         ).reshape(mw_shape)
         plotting.plot_map(MAP, title="Maximum a posteriori solution",
                           cmap="cividis").savefig(filename("MAP"))
-    _truth_section(MAP, mean)
+    if mean is not None:
+        _truth_section(MAP, mean)
     if args.save_npy:
-        np.save(filename("mean", "npy"), mean)
+        if mean is not None:
+            np.save(filename("mean", "npy"), mean)
         if "ci_range_pix" in data:
             np.save(filename("CI", "npy"), ci_range)
         if MAP is not None:

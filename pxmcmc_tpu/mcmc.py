@@ -509,8 +509,11 @@ class PxMCMC:
         # TPU backends kill with an UNAVAILABLE deadline fault; chunking
         # keeps each dispatch seconds long at identical sample streams
         # (each chunk's keys derive from (burn key, chunk index)).
-        if self.nburn > 0:
-            chunk = int(os.environ.get("PXMCMC_BURN_CHUNK", 1000))
+        # Resuming runs skip burn-in entirely: the checkpointed state is
+        # already post-burn, and load_checkpoint would discard the result.
+        resuming = checkpoint_path is not None and os.path.exists(checkpoint_path)
+        if self.nburn > 0 and not resuming:
+            chunk = max(1, int(os.environ.get("PXMCMC_BURN_CHUNK", 1000)))
 
             def _burn(state, key, i0, n):
                 # per-step keys from the absolute burn index, so the stream
@@ -548,7 +551,7 @@ class PxMCMC:
         )
         key, sample_key = jax.random.split(key)
         j = 0
-        if checkpoint_path is not None and os.path.exists(checkpoint_path):
+        if resuming:
             from .parallel.checkpoint import load_checkpoint
 
             state, sample_key, j, tracking, summary = load_checkpoint(
@@ -726,13 +729,15 @@ class PxMCMC:
         bi, ci = divmod(idx, lp.shape[1])
         best = float(lp[bi, ci])
         if best > self._map_logpi:
+            from .config import to_host
+
             X = recs["chain"]
             if isinstance(X, (tuple, list)):
                 xbest = np.concatenate(
-                    [np.asarray(x[bi, ci]) for x in X], axis=-1
+                    [to_host(x[bi, ci]) for x in X], axis=-1
                 )
             else:
-                xbest = np.asarray(X[bi, ci])
+                xbest = to_host(X[bi, ci])  # complex-safe boundary
             self._map_X = xbest
             self._map_logpi = best
 
