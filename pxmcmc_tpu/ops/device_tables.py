@@ -88,16 +88,38 @@ def _seed_coefficients(L: int, n: int) -> tuple[np.ndarray, ...]:
     return l0.astype(np.int32), pc.astype(np.float64), ps.astype(np.float64), sgn, logC
 
 
+def _seed_split(L: int, n: int, thetas: np.ndarray):
+    """Host-side f64 seed as a (mantissa, int32 power-of-2 exponent) pair.
+
+    The seed magnitude log2 |d^{l0}_{mn}| = logC/ln2 + pc*log2 cos(theta/2)
+    + ps*log2 sin(theta/2) reaches ~1e4-1e5 near the poles at large L; an
+    f32 evaluation leaves ~1e-4..1e-3 *relative* error in every polar seed
+    (f32 eps * 1e4 in the exponent), which the recursion then propagates to
+    all higher degrees in those columns (round-4 advisor finding).  All
+    inputs are host f64 numpy, so the split is computed exactly here and
+    only the already-split pair crosses to the device — O(L*T) floats, still
+    negligible next to the O(L^2*T) tables being generated.
+    """
+    l0, pc, ps, sgn, logC = _seed_coefficients(L, n)
+    log2c = np.log2(np.maximum(np.abs(np.cos(thetas / 2.0)), 1e-300))
+    log2sb = np.log2(np.maximum(np.abs(np.sin(thetas / 2.0)), 1e-300))
+    seed_log2 = (
+        logC[:, None] / np.log(2.0) + pc[:, None] * log2c[None, :]
+        + ps[:, None] * log2sb[None, :]
+    )
+    seed_e = np.floor(seed_log2)
+    seed_mant = sgn[:, None] * np.exp2(seed_log2 - seed_e)
+    return l0, seed_mant, seed_e.astype(np.int32)
+
+
 @partial(jax.jit, static_argnames=("L", "n", "dtype"))
 def _wigner_scan(
     L: int,
     n: int,
     thetas: jax.Array,
     l0: jax.Array,
-    pc: jax.Array,
-    ps: jax.Array,
-    sgn: jax.Array,
-    logC: jax.Array,
+    seed_mant: jax.Array,
+    seed_e: jax.Array,
     dtype=jnp.float32,
 ) -> jax.Array:
     """lax.scan over degree l; carry is the (2L-1, T) pair (d^{l-1}, d^l).
@@ -112,21 +134,12 @@ def _wigner_scan(
     on those NaN tables).  With per-(m, theta) exponent tracking the
     mantissas stay in [2^-32, 2^32], every rescale is an exact power-of-2
     multiply, and a value is flushed to zero only at *emission*, exactly
-    where an f32 cast of the host f64 table would flush it.
+    where an f32 cast of the host f64 table would flush it.  The seed pair
+    itself is built host-side in f64 (:func:`_seed_split`).
     """
     thetas = thetas.astype(dtype)
     x = jnp.cos(thetas)[None, :]  # (1, T)
-    log2c = jnp.log2(jnp.maximum(jnp.abs(jnp.cos(thetas / 2.0)), 1e-30))
-    log2sb = jnp.log2(jnp.maximum(jnp.abs(jnp.sin(thetas / 2.0)), 1e-30))
-    ln2 = np.log(2.0)
-    # Seed as (mantissa in [1,2), integer exponent): exact at any magnitude.
-    seed_log2 = (
-        logC[:, None] / ln2 + pc[:, None] * log2c[None, :]
-        + ps[:, None] * log2sb[None, :]
-    )
-    seed_e = jnp.floor(seed_log2)
-    seed_mant = (sgn[:, None] * jnp.exp2(seed_log2 - seed_e)).astype(dtype)
-    seed_e = seed_e.astype(jnp.int32)
+    seed_mant = seed_mant.astype(dtype)
     ms = jnp.arange(-(L - 1), L, dtype=dtype)[:, None]  # (2L-1, 1)
     nf = dtype(float(n)) if callable(dtype) else jnp.asarray(float(n), dtype)
 
@@ -183,15 +196,13 @@ def spin_lambda_device(L: int, spin: int, dtype=jnp.float32) -> jax.Array:
     """
     n = -spin
     thetas, _ = sampling.sample_positions(L)
-    l0, pc, ps, sgn, logC = _seed_coefficients(L, n)
+    l0, seed_mant, seed_e = _seed_split(L, n, np.asarray(thetas, dtype=np.float64))
     d = _wigner_scan(
         L, n,
         jnp.asarray(thetas),
         jnp.asarray(l0),
-        jnp.asarray(pc, dtype=dtype),
-        jnp.asarray(ps, dtype=dtype),
-        jnp.asarray(sgn, dtype=dtype),
-        jnp.asarray(logC, dtype=dtype),
+        jnp.asarray(seed_mant, dtype=dtype),
+        jnp.asarray(seed_e),
         dtype=jnp.dtype(dtype).type,
     )
     ls = np.arange(L)

@@ -51,7 +51,14 @@ def _summary_from_payload(z):
         d = root
         for p in parts[:-1]:
             d = d.setdefault(p, {})
-        d[parts[-1]] = to_device(z[full])
+        if parts[0] in ("map_X", "map_logpi"):
+            # The running-MAP fold lives host-side (mcmc._fold_map keeps
+            # numpy); round-tripping a complex map_X through to_device and
+            # back would be exactly the raw complex readback config.to_host
+            # exists to avoid on relayed TPU backends.
+            d[parts[-1]] = np.asarray(z[full])
+        else:
+            d[parts[-1]] = to_device(z[full])
     return root
 
 

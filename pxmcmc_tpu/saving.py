@@ -65,6 +65,7 @@ def save_mcmc(mcmc, params, outpath, filename="outputs", **kwargs):
 
         for attr, val in params.__dict__.items():
             f.attrs[attr] = val
+        spilled = []
         for k, v in kwargs.items():
             arr = np.asarray(v)
             if arr.nbytes > 16384:
@@ -74,13 +75,28 @@ def save_mcmc(mcmc, params, outpath, filename="outputs", **kwargs):
                 # which only works at toy bandlimits.
                 name = k if k not in f else k + "_meta"
                 f.create_dataset(name, data=arr)
+                spilled.append(f"{k}:{name}")
             else:
                 f.attrs[k] = v
+        if spilled:
+            # Record where each spilled kwarg went so readers see one
+            # namespace again: load_mcmc merges these datasets back into
+            # the params dict under their original keys.
+            f.attrs["_spilled_attrs"] = spilled
 
 
 def load_mcmc(path):
-    """Load datasets + attrs of a saved run into plain dicts (beyond-reference)."""
+    """Load datasets + attrs of a saved run into plain dicts (beyond-reference).
+
+    Kwargs that ``save_mcmc`` spilled from attrs to datasets (HDF5's 64 KB
+    attribute cap) are merged back into the attrs dict under their original
+    keys, so consumers see the same namespace regardless of value size.
+    """
     with h5py.File(path, "r") as f:
         data = {k: np.asarray(f[k]) for k in f.keys()}
         attrs = dict(f.attrs)
+    for entry in attrs.pop("_spilled_attrs", []):
+        key, _, dset = str(entry).partition(":")
+        if dset in data:
+            attrs[key] = data.pop(dset)
     return data, attrs

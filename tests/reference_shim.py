@@ -18,12 +18,26 @@ private package name ``refpxmcmc`` so it cannot collide with this repo's
 """
 from __future__ import annotations
 
+import hashlib
 import os
 import sys
 import types
 
 _REF_DIR = "/root/reference/pxmcmc"
 _cache = None
+
+# Content pins for the loaded files: the reference tree is untrusted public
+# content, and ``load_reference`` exec()s these six modules in-process.  An
+# unexpected edit to /root/reference must fail loudly (skip the parity
+# tests) rather than execute unreviewed code.
+_PINNED_SHA256 = {
+    "utils": "d22e1359bbb5c834d2f518c13aed01b461a586ea8941e5264552b0956d32850a",
+    "transforms": "7d8df83a1978891af6aa058043cb8d5dd073f89bd906a41009ef29f5a2aa1262",
+    "measurements": "de3aa3a6909f2377a7b0685391732d4f1b980502b1f0d3e229d74e0d8c4c99fd",
+    "forward": "d82e05538a636c801cebb62c7e1a80366d23dcd53efa74859cf60cb29d1f0b63",
+    "prior": "73044f6ad50ab44e11247e0b0cf8f18d3484ef750beeaf51bb6a0256b4b32925",
+    "mcmc": "c5b7589072588e3ad507199d3528aa6820cec5d372f035d529adab070a02437b",
+}
 
 
 def reference_available() -> bool:
@@ -64,8 +78,16 @@ def load_reference():
         sys.modules["refpxmcmc"] = pkg
         for name in ("utils", "transforms", "measurements", "forward", "prior", "mcmc"):
             path = os.path.join(_REF_DIR, name + ".py")
-            with open(path) as fh:
-                src = fh.read()
+            with open(path, "rb") as fh:
+                raw = fh.read()
+            digest = hashlib.sha256(raw).hexdigest()
+            if digest != _PINNED_SHA256[name]:
+                raise RuntimeError(
+                    f"reference file {path} does not match its pinned hash "
+                    f"({digest} != {_PINNED_SHA256[name]}); refusing to exec "
+                    "unreviewed content — re-review and update the pin"
+                )
+            src = raw.decode()
             # retarget intra-package imports at the private namespace so the
             # reference never shadows this repo's `pxmcmc` compat alias
             src = src.replace("from pxmcmc.", "from refpxmcmc.").replace(
