@@ -178,6 +178,17 @@ class PxMCMC:
         self._gram_b = self._cast(tr.inverse_adjoint(y_weighted))
         if self._pyramid_ok():
             self._gram_b_blocks = self._split_X(self._gram_b)
+            if os.environ.get("PXMCMC_GRAM_PALLAS", "1") != "0":
+                # hand-fused (m, chain-tile) Pallas pipeline for the theta
+                # GEMM + Gram-apply core (ops/pallas_gram.py) — the G/H
+                # full-grid intermediates stay in VMEM.  Same operator;
+                # sums associate differently.  Falls back to the XLA path
+                # when the basis has no fusable scale.
+                from .ops.pallas_gram import build_gram_pallas_plan
+
+                self._gram_pallas_plan = build_gram_pallas_plan(
+                    tr.basis, self._gram
+                )
             if os.environ.get("PXMCMC_GRAM_FUSED", "0") == "1":
                 # fold the Gram apply into the adjoint theta tables (one
                 # fewer m-batched GEMV + no full-grid H intermediate per
@@ -320,7 +331,13 @@ class PxMCMC:
             gram_gradient_real_blocks_fused,
         )
 
-        if getattr(self, "_gram_qg", None) is not None:
+        if getattr(self, "_gram_pallas_plan", None) is not None:
+            from .ops.pallas_gram import gram_gradient_real_blocks_pallas
+
+            stsx = gram_gradient_real_blocks_pallas(
+                blocks, self.forward.transform.basis, self._gram_pallas_plan
+            )
+        elif getattr(self, "_gram_qg", None) is not None:
             stsx = gram_gradient_real_blocks_fused(
                 blocks, self.forward.transform.basis, self._gram_qg
             )

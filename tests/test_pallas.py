@@ -112,3 +112,100 @@ def test_myula_refuses_fused_on_cpu(simpledata):
     # samples must actually be stochastic
     assert mcmc.chain[0].std() > 0
     assert not np.allclose(mcmc.chain[0], mcmc.chain[-1])
+
+
+# ---------------------------------------------------------------------------
+# Fused (m, chain-tile) Gram-gradient pipeline (ops/pallas_gram.py)
+# ---------------------------------------------------------------------------
+
+
+def _gram_fixtures(L=64, B=1.5, J_min=2, C=3, seed=0):
+    from pxmcmc_tpu.ops import sht, wavelets
+    from pxmcmc_tpu.ops.pallas_gram import build_gram_pallas_plan
+
+    wb = wavelets.get_wavelet_basis(L, B, J_min)
+    gram = sht.get_gram(L, 0)
+    plan = build_gram_pallas_plan(wb, gram)
+    rng = np.random.default_rng(seed)
+    blocks = tuple(
+        jnp.asarray(
+            rng.standard_normal((C, int(b) * (2 * int(b) - 1))), jnp.float32
+        )
+        for b in wb.bandlimits
+    )
+    return wb, gram, plan, blocks
+
+
+def test_pallas_gram_gradient_matches_xla_blocks():
+    """The fused kernel is the same linear operator as the XLA grid chain
+    (sums associate differently -> f32-roundoff tolerance)."""
+    from pxmcmc_tpu.ops import wavelets
+    from pxmcmc_tpu.ops.pallas_gram import gram_gradient_real_blocks_pallas
+
+    wb, gram, plan, blocks = _gram_fixtures()
+    assert plan is not None and len(plan.big_bl) >= 1
+    ref = wavelets.gram_gradient_real_blocks(blocks, wb, gram)
+    out = gram_gradient_real_blocks_pallas(blocks, wb, plan)
+    for r, o in zip(ref, out):
+        r, o = np.asarray(r), np.asarray(o)
+        scale = np.abs(r).max()
+        assert np.abs(r - o).max() <= 1e-5 * scale
+
+
+def test_pallas_gram_gradient_odd_batch_and_no_big_scales():
+    """Batch sizes that don't tile evenly pad+slice correctly; bases whose
+    scales all sit below the cutoff return a None plan (XLA fallback)."""
+    from pxmcmc_tpu.ops import sht, wavelets
+    from pxmcmc_tpu.ops.pallas_gram import (
+        build_gram_pallas_plan,
+        gram_gradient_real_blocks_pallas,
+    )
+
+    wb, gram, plan, _ = _gram_fixtures(C=1)
+    rng = np.random.default_rng(1)
+    blocks = tuple(
+        jnp.asarray(
+            rng.standard_normal((5, int(b) * (2 * int(b) - 1))), jnp.float32
+        )
+        for b in wb.bandlimits
+    )
+    ref = wavelets.gram_gradient_real_blocks(blocks, wb, gram)
+    out = gram_gradient_real_blocks_pallas(blocks, wb, plan)
+    for r, o in zip(ref, out):
+        r, o = np.asarray(r), np.asarray(o)
+        assert np.abs(r - o).max() <= 1e-5 * np.abs(r).max()
+
+    wb_small = wavelets.get_wavelet_basis(16, 1.5, 2)
+    assert build_gram_pallas_plan(wb_small, sht.get_gram(16, 0)) is None
+
+
+def test_myula_sampler_equal_with_and_without_pallas_gram(monkeypatch, tmp_path):
+    """A short MYULA run at a fusable bandlimit stays within roundoff drift
+    of the XLA-gradient run (same keys, same noise stream)."""
+    from pxmcmc_tpu.transforms import SphericalWaveletTransform
+
+    L = 64
+    rng = np.random.default_rng(3)
+    data = jnp.asarray(
+        rng.standard_normal(L * (2 * L - 1)), dtype=jnp.float32
+    )
+    results = {}
+    for flag in ("1", "0"):
+        monkeypatch.setenv("PXMCMC_GRAM_PALLAS", flag)
+        tr = SphericalWaveletTransform(L, 1.5, 2)
+        fwd = ForwardOperator(
+            data, 0.5, "synthesis", transform=tr,
+            measurement=Identity(data.size, data.size), nparams=tr.ncoefs,
+        )
+        params = PxMCMCParams(
+            nsamples=4, nburn=0, ngap=2, nchains=2, delta=1e-6, mu=1.0,
+            complex=False, verbosity=0, track=["chain"],
+        )
+        mcmc = MYULA(fwd, L1("synthesis", tr.forward, tr.forward_adjoint,
+                             params.lmda * params.mu), params)
+        mcmc.run()
+        results[flag] = np.asarray(mcmc.chain)
+        if flag == "1":
+            assert getattr(mcmc, "_gram_pallas_plan", None) is not None
+    scale = np.abs(results["0"]).max()
+    assert np.abs(results["1"] - results["0"]).max() <= 1e-4 * scale
