@@ -273,10 +273,8 @@ def measure(L, nchains, niter, nrep=3):
         # flatten erased the pyramid layout's gain)
         pyr_idx = None
         if sampler._pyramid_ok():
-            sizes = [
-                int(b.shape[-1])
-                for b in sampler._split_X(np.zeros(sampler.forward.nparams))
-            ]
+            split = sampler._split_X(np.zeros(sampler.forward.nparams))
+            sizes = [int(np.prod(b.shape)) for b in split]
             bounds = np.cumsum([0] + sizes)
             pyr_idx = [
                 jnp.asarray(
@@ -288,9 +286,15 @@ def measure(L, nchains, niter, nrep=3):
         def _record_subset(X):
             if isinstance(X, jax.Array):
                 return X[..., rec_idx]
-            parts = [
-                x[..., idx] for x, idx in zip(X, pyr_idx) if idx.size > 0
-            ]
+            parts = []
+            for x, idx in zip(X, pyr_idx):
+                if idx.size == 0:
+                    continue
+                if x.ndim >= 3:  # grid blocks (..., theta, phi): 2-D gather
+                    p = x.shape[-1]
+                    parts.append(x[..., idx // p, idx % p])
+                else:
+                    parts.append(x[..., idx])
             return jnp.concatenate(parts, axis=-1)
 
         def _block_rec(state, keys):

@@ -178,12 +178,20 @@ class PxMCMC:
         self._gram_b = self._cast(tr.inverse_adjoint(y_weighted))
         if self._pyramid_ok():
             self._gram_b_blocks = self._split_X(self._gram_b)
-            if os.environ.get("PXMCMC_GRAM_PALLAS", "1") != "0":
+            flag = os.environ.get("PXMCMC_GRAM_PALLAS", "auto")
+            from .ops.pallas_gram import _act_dtype
+
+            if flag == "1" or (
+                flag == "auto" and _act_dtype() == jnp.bfloat16
+            ):
                 # hand-fused (m, chain-tile) Pallas pipeline for the theta
                 # GEMM + Gram-apply core (ops/pallas_gram.py) — the G/H
                 # full-grid intermediates stay in VMEM.  Same operator;
-                # sums associate differently.  Falls back to the XLA path
-                # when the basis has no fusable scale.
+                # sums associate differently.  Engaged automatically for
+                # bf16-storage runs (where it measures 1.26x the XLA grid
+                # chain, BENCH.md round 5); at f32 storage XLA's batched
+                # GEMMs win, so 'auto' leaves it off there.  Falls back to
+                # the XLA path when the basis has no fusable scale.
                 from .ops.pallas_gram import build_gram_pallas_plan
 
                 self._gram_pallas_plan = build_gram_pallas_plan(
@@ -281,11 +289,13 @@ class PxMCMC:
             self._split_X(self.prior.map_weights) if kind == "weighted" else None
         )
 
+        axes = (-2, -1) if self._grid_blocks_ok() else (-1,)
+
         def prior_blocks(blocks):
             tot = 0.0
             for i, x in enumerate(blocks):
                 xi = w_blocks[i] * x if w_blocks is not None else x
-                tot = tot + jnp.sum(jnp.abs(xi), axis=-1)
+                tot = tot + jnp.sum(jnp.abs(xi), axis=axes)
             return tot
 
         return prior_blocks
@@ -309,21 +319,59 @@ class PxMCMC:
             self._cast(g) for g in self.forward.gradg_internal_blocks(preds)
         )
 
-    @staticmethod
-    def _pyr_dot(a, b):
-        """sum_i <a_i, b_i> accumulated per block (batched over chains)."""
+    def _pyr_dot(self, a, b):
+        """sum_i <a_i, b_i> accumulated per block (batched over chains).
+
+        Blocks are flat (..., ncoef) segments, or (theta, phi) grids when
+        :meth:`_grid_blocks_ok` — the reduction covers the coefficient
+        axes either way.
+        """
+        axes = (-2, -1) if self._grid_blocks_ok() else (-1,)
         tot = 0.0
         for ai, bi in zip(a, b):
-            tot = tot + jnp.sum(ai * bi, axis=-1)
+            tot = tot + jnp.sum(ai * bi, axis=axes)
         return tot
+
+    def _grid_blocks_ok(self) -> bool:
+        """Whether pyramid blocks carry their native (theta, phi) grid shape.
+
+        Flat (..., ncoef_j) segments force a tiled-layout relayout (measured
+        ~3 ms/step at L=256/256 chains, round-5 trace: `reshape`+`copy`)
+        every time the gradient views them as (theta, phi) maps; with the
+        state held in grid shape the hot loop has no reshapes at all.
+        Gated to the Gram fast path (the flagship/PxMALA/SKROCK synthesis
+        configs); operator-block paths (weak lensing, analysis) keep flat
+        segments.
+        """
+        return (
+            self._pyramid_ok()
+            and self._gram_ok()
+            and os.environ.get("PXMCMC_PYRAMID_GRID", "1") != "0"
+        )
 
     def _split_X(self, X):
         from .ops.wavelets import _split_scales
 
-        return tuple(_split_scales(X, self.forward.transform.basis))
+        blocks = tuple(_split_scales(X, self.forward.transform.basis))
+        if self._grid_blocks_ok():
+            bls = self.forward.transform.basis.bandlimits
+            blocks = tuple(
+                b.reshape(b.shape[:-1] + (int(bl), 2 * int(bl) - 1))
+                for b, bl in zip(blocks, bls)
+            )
+        return blocks
 
     def _flatten_X(self, X):
-        return X if isinstance(X, jax.Array) else jnp.concatenate(X, axis=-1)
+        if isinstance(X, jax.Array):
+            return X
+        bls = self.forward.transform.basis.bandlimits
+        parts = []
+        for x, bl in zip(X, bls):
+            bl = int(bl)
+            if x.ndim >= 2 and x.shape[-2:] == (bl, 2 * bl - 1):
+                x = x.reshape(x.shape[:-2] + (bl * (2 * bl - 1),))
+            parts.append(x)
+        return jnp.concatenate(parts, axis=-1)
 
     def _gram_gradg_blocks(self, blocks):
         from .ops.wavelets import (
@@ -624,7 +672,7 @@ class PxMCMC:
                 if isinstance(xb, (tuple, list)):
                     # pyramid records: assemble once per superblock for the
                     # device-side fold (amortised over nblk records)
-                    xb = jnp.concatenate(xb, axis=-1)
+                    xb = self._flatten_X(xb)
                     if "chain" in self.track:
                         recs["chain"] = xb
                 self._fold_summary(xb)
@@ -751,7 +799,7 @@ class PxMCMC:
             X = recs["chain"]
             if isinstance(X, (tuple, list)):
                 xbest = np.concatenate(
-                    [to_host(x[bi, ci]) for x in X], axis=-1
+                    [to_host(x[bi, ci]).reshape(-1) for x in X], axis=-1
                 )
             else:
                 xbest = to_host(X[bi, ci])  # complex-safe boundary
@@ -856,7 +904,13 @@ class PxMCMC:
         if "chain" in self.track:
             c = recs["chain"]
             if isinstance(c, (tuple, list)):  # pyramid records: host concat
-                c = np.concatenate([np.asarray(ci) for ci in c], axis=-1)
+                c = np.concatenate(
+                    [
+                        np.asarray(ci).reshape(ci.shape[0], ci.shape[1], -1)
+                        for ci in c
+                    ],
+                    axis=-1,
+                )
             self.chain[sl] = c
         if "predictions" in self.track:
             self.preds[sl] = recs["predictions"]
@@ -1194,20 +1248,24 @@ class PxMALA(MYULA):
         self._prepare()
         prox = self._pyr_prox_fn()
         prior_fn = self._pyr_prior_fn()
+        grid = self._grid_blocks_ok()
+        axes = (-2, -1) if grid else (-1,)
+        # per-chain delta broadcast over the block's coefficient axes
+        bexp = (lambda dd: dd[..., None, None]) if grid else (lambda dd: dd[..., None])
 
         def logtrans(X1, X2, proxf, gradg, delta):
             # block form of calc_logtransition: -||X2 - m||^2 / (4 delta)
-            d = delta[..., None]
+            d = bexp(delta)
             tot = 0.0
             for x1, x2, p, g in zip(X1, X2, proxf, gradg):
                 m = x1 + d * (-((x1 - p) / self.lmda) - g)
                 r = x2 - m
-                tot = tot + jnp.sum(r * r, axis=-1)
+                tot = tot + jnp.sum(r * r, axis=axes)
             return -tot / (4 * delta)
 
         def step(state, key):
             kn, ka = jax.random.split(key)
-            d = state.delta[..., None]
+            d = bexp(state.delta)
             ws = self._pyr_noise(kn, state.X)
             X_prop = tuple(
                 (1 - d / self.lmda) * x

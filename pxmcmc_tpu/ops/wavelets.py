@@ -323,6 +323,24 @@ def synthesis(X: jax.Array, wb: WaveletBasis) -> jax.Array:
     return synthesis_blocks(tuple(_split_scales(X, wb)), wb)
 
 
+def _as_wmap(blk: jax.Array, bl: int) -> tuple:
+    """View a per-scale block as its (theta, phi) map.
+
+    Blocks arrive flat (..., bl*(2bl-1)) or already grid-shaped
+    (..., bl, 2bl-1) (the sampler's zero-reshape pyramid layout — see
+    ``PxMCMC._grid_blocks_ok``).  Returns (wmap, was_grid).
+    """
+    if blk.ndim >= 2 and blk.shape[-2:] == (bl, 2 * bl - 1):
+        return blk, True
+    return blk.reshape(blk.shape[:-1] + (bl, 2 * bl - 1)), False
+
+
+def _from_wmap(wmap: jax.Array, grid: bool) -> jax.Array:
+    """Inverse of :func:`_as_wmap`: flatten unless the caller runs grid
+    blocks."""
+    return wmap if grid else wmap.reshape(wmap.shape[:-2] + (-1,))
+
+
 @jax.jit
 def synthesis_blocks(blocks, wb: WaveletBasis) -> jax.Array:
     """Per-scale-block form of :func:`synthesis` (same math; input already
@@ -331,7 +349,7 @@ def synthesis_blocks(blocks, wb: WaveletBasis) -> jax.Array:
     L = wb.L
     flm = None
     for blk, kap, basis, bl in zip(blocks, wb.kappa_flm, wb.bases, wb.bandlimits):
-        wmap = blk.reshape(blk.shape[:-1] + (bl, 2 * bl - 1))
+        wmap, _ = _as_wmap(blk, int(bl))
         wlm = fwd(wmap, basis) * kap
         pad = L * L - bl * bl
         wlm_full = jnp.pad(wlm, [(0, 0)] * (wlm.ndim - 1) + [(0, pad)])
@@ -471,9 +489,10 @@ def gram_gradient_real_blocks(blocks, wb: WaveletBasis, gram: jax.Array):
     step in the round-3 profiler trace) and the misaligned flat-vector
     slices from the hot loop entirely.
     """
+    grid = blocks[0].ndim >= 2 and blocks[0].shape[-1] == 2 * int(wb.bandlimits[0]) - 1
     Ggrid = synthesis_grid2_blocks(blocks, wb)
     H = sht._mm(gram, Ggrid, "mlk,...mk->...ml")
-    return adjoint_scales_grid2_blocks(H, wb)
+    return adjoint_scales_grid2_blocks(H, wb, grid=grid)
 
 
 def build_gram_qg(wb: WaveletBasis, gram: jax.Array) -> tuple:
@@ -511,12 +530,13 @@ def gram_gradient_real_blocks_fused(blocks, wb: WaveletBasis, qg: tuple):
     """:func:`gram_gradient_real_blocks` with the Gram apply precomposed
     into the adjoint theta tables (see :func:`build_gram_qg`).  Same
     linear operator; floating-point sums associate differently."""
+    grid = blocks[0].ndim >= 2 and blocks[0].shape[-1] == 2 * int(wb.bandlimits[0]) - 1
     Ggrid = synthesis_grid2_blocks(blocks, wb)
     out = []
     for QG, basis, bl in zip(qg, wb.bases, wb.bandlimits):
         Ft = sht._mm(QG, Ggrid[..., :bl, :], "mkt,...mk->...mt")
         wmap = sht.phi_synth_r2(Ft, basis) / (2 * bl - 1)
-        out.append(wmap.reshape(wmap.shape[:-2] + (-1,)))
+        out.append(_from_wmap(wmap, grid))
     return tuple(out)
 
 
@@ -541,7 +561,7 @@ def synthesis_grid2_blocks(blocks, wb: WaveletBasis) -> jax.Array:
     for blk, kap_g, basis, bl in zip(
         blocks, _kappa_grids(wb), wb.bases, wb.bandlimits
     ):
-        wmap = blk.reshape(blk.shape[:-1] + (bl, 2 * bl - 1))
+        wmap, _ = _as_wmap(blk, int(bl))
         Fm2 = sht.phi_analysis_r2(wmap, basis, 1.0 / (2 * bl - 1))  # (..., 2, m, t)
         G = sht._mm(basis.q[bl - 1 :], Fm2, "mlt,...mt->...ml") * kap_g
         if Ggrid is None:
@@ -565,16 +585,17 @@ def adjoint_scales_grid2(H: jax.Array, wb: WaveletBasis) -> jax.Array:
     return jnp.concatenate(adjoint_scales_grid2_blocks(H, wb), axis=-1)
 
 
-def adjoint_scales_grid2_blocks(H: jax.Array, wb: WaveletBasis) -> tuple:
+def adjoint_scales_grid2_blocks(H: jax.Array, wb: WaveletBasis, grid=False) -> tuple:
     """Per-scale-block form of :func:`adjoint_scales_grid2`: returns the
-    coefficient pyramid as a tuple of per-scale flat segments (no
-    concatenate — the pyramid-state hot path consumes the tuple as is)."""
+    coefficient pyramid as a tuple of per-scale segments (flat, or (theta,
+    phi) grids with ``grid=True`` — no concatenate either way; the
+    pyramid-state hot path consumes the tuple as is)."""
     out = []
     for kap_g, basis, bl in zip(_kappa_grids(wb), wb.bases, wb.bandlimits):
         Hj = H[..., :bl, :bl] * kap_g
         Ft = sht._mm(basis.q[bl - 1 :], Hj, "mlt,...ml->...mt")
         wmap = sht.phi_synth_r2(Ft, basis) / (2 * bl - 1)
-        out.append(wmap.reshape(wmap.shape[:-2] + (-1,)))
+        out.append(_from_wmap(wmap, grid))
     return tuple(out)
 
 

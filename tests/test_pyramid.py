@@ -40,7 +40,7 @@ def test_gram_gradient_blocks_match_flat(simpledata, L, B, J_min, rng):
     flat = s._gram_gradg(X)
     blocks = s._gram_gradg_blocks(s._split_X(X))
     np.testing.assert_allclose(
-        np.asarray(jnp.concatenate(blocks, axis=-1)), np.asarray(flat),
+        np.asarray(s._flatten_X(blocks)), np.asarray(flat),
         rtol=1e-10, atol=1e-12,
     )
 
@@ -80,6 +80,7 @@ def test_pyramid_step_equals_manual_flat(simpledata, L, B, J_min, rng):
     w = jnp.concatenate(
         [
             jax.random.normal(jax.random.fold_in(key, i), x.shape, x.dtype)
+            .reshape(x.shape[0], -1)
             for i, x in enumerate(state.X)
         ],
         axis=-1,
@@ -169,6 +170,7 @@ def test_pyramid_weaklensing_step_equals_manual(L, B, J_min, rng):
     w = jnp.concatenate(
         [
             jax.random.normal(jax.random.fold_in(key, i), x.shape, x.dtype)
+            .reshape(x.shape[0], -1)
             for i, x in enumerate(state.X)
         ],
         axis=-1,
@@ -237,6 +239,7 @@ def test_pxmala_pyramid_step_equals_manual_flat(simpledata, L, B, J_min, rng):
     w = jnp.concatenate(
         [
             jax.random.normal(jax.random.fold_in(kn, i), x.shape, x.dtype)
+            .reshape(x.shape[0], -1)
             for i, x in enumerate(state.X)
         ],
         axis=-1,
@@ -307,6 +310,7 @@ def test_skrock_pyramid_step_equals_manual_flat(simpledata, L, B, J_min, rng):
     Z = jnp.concatenate(
         [
             jax.random.normal(jax.random.fold_in(key, i), x.shape, x.dtype)
+            .reshape(x.shape[0], -1)
             for i, x in enumerate(state.X)
         ],
         axis=-1,
