@@ -47,6 +47,22 @@ NCHAINS = int(
 )
 BASELINE_CACHE = os.path.join(REPO, ".cache", f"bench_baseline_{CONFIG}.json")
 
+# Throughput-first precision default for the flagship (Gram fast-path)
+# config: bf16 storage for the gradient pipeline's big intermediates +
+# the fused Pallas theta/Gram kernel.  Gated by the posterior-parity test
+# (tests/test_precision_parity.py::test_f32_bf16_storage_posterior_parity:
+# posterior mean and CI widths match the f32 chain within Monte-Carlo
+# tolerance — the BASELINE.json CI-parity criterion).  The CPU baseline
+# subprocess runs f32 either way (bf16 storage has no CPU benefit), which
+# only *deflates* the reported ratio.  PXMCMC_BENCH_PRECISION=float32
+# reverts to the exact-f32 path (measured 21,652 it/s vs 24,385 bf16 at
+# L=256/256 chains, round 5).
+if (
+    CONFIG == "earthtopography"
+    and os.environ.get("PXMCMC_BENCH_PRECISION", "bfloat16") == "bfloat16"
+):
+    os.environ.setdefault("PXMCMC_MATMUL_PRECISION", "bfloat16")
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
@@ -349,9 +365,15 @@ def cpu_baseline():
         "print('BASELINE_JSON ' + json.dumps([rate, ess]))\n" % REPO
     )
     # the CPU baseline gets the phi mode that is fastest on CPU (pocketfft
-    # handles odd lengths well; the DFT matmuls only pay off on the MXU)
+    # handles odd lengths well; the DFT matmuls only pay off on the MXU),
+    # and always runs exact f32 on its best path (the bf16/Pallas
+    # throughput default is TPU-only; leaking it into the baseline would
+    # slow the denominator and inflate the ratio)
     env = dict(os.environ, PXMCMC_PLATFORM="cpu", JAX_PLATFORMS="cpu",
-               PXMCMC_SHT_PHI="fft")
+               PXMCMC_SHT_PHI="fft", PXMCMC_GRAM_PALLAS="0",
+               PXMCMC_BENCH_PRECISION="float32")
+    env.pop("PXMCMC_MATMUL_PRECISION", None)
+    env.pop("PXMCMC_PALLAS_DTYPE", None)
     r = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True,
         timeout=3600, env=env, cwd=REPO,

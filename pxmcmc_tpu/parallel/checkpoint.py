@@ -35,7 +35,9 @@ def _summary_to_payload(summary) -> dict:
         # to_host: complex leaves must cross the boundary as real planes
         # (config.py — a raw device_get of complex bytes poisons relayed
         # TPU clients)
-        out[f"summary/{name}"] = to_host(leaf)
+        from .mesh import local_block
+
+        out[f"summary/{name}"] = local_block(leaf)
     return out
 
 
@@ -67,7 +69,13 @@ def save_checkpoint(path, state, key, j, tracking: dict, summary=None):
     parent = os.path.dirname(os.path.abspath(path))
     os.makedirs(parent, exist_ok=True)
     leaves, _ = _flatten_state(state)
-    payload = {f"state_{i}": to_host(x) for i, x in enumerate(leaves)}
+    # local_block == to_host for single-process runs; under
+    # jax.process_count() > 1 each process saves only its own contiguous
+    # chain shard (the caller derives a per-process path), so no
+    # non-addressable shard is ever touched.
+    from .mesh import local_block
+
+    payload = {f"state_{i}": local_block(x) for i, x in enumerate(leaves)}
     payload["key_data"] = np.asarray(jax.random.key_data(key))
     for name, arr in tracking.items():
         payload[f"track_{name}"] = arr
@@ -92,11 +100,19 @@ def load_checkpoint(path, state_template):
         meta = json.loads(bytes(z[_META].tobytes()).decode())
         leaves, treedef = _flatten_state(state_template)
         new_leaves = []
+        multiproc = jax.process_count() > 1
         for i, tmpl in enumerate(leaves):
             arr = z[f"state_{i}"]
-            x = to_device(arr, dtype=tmpl.dtype)
-            if hasattr(tmpl, "sharding"):
-                x = jax.device_put(x, tmpl.sharding)
+            if multiproc and hasattr(tmpl, "sharding"):
+                # arr holds this process's local chain shard; reassemble the
+                # global array from per-process local data
+                x = jax.make_array_from_process_local_data(
+                    tmpl.sharding, np.asarray(arr, dtype=tmpl.dtype)
+                )
+            else:
+                x = to_device(arr, dtype=tmpl.dtype)
+                if hasattr(tmpl, "sharding"):
+                    x = jax.device_put(x, tmpl.sharding)
             new_leaves.append(x)
         state = jax.tree_util.tree_unflatten(treedef, new_leaves)
         key = jax.random.wrap_key_data(jax.numpy.asarray(z["key_data"]))

@@ -102,3 +102,167 @@ def test_two_process_distributed_smoke(tmp_path):
             pytest.skip(f"jax.distributed unsupported on this backend: {err[-200:]}")
         assert rc == 0, f"worker failed:\nstdout:{out}\nstderr:{err[-2000:]}"
         assert "MULTIHOST_OK" in out
+
+
+_RUN_WORKER = r"""
+import os, sys
+import numpy as np
+
+import jax
+
+sys.path.insert(0, os.environ["PXMCMC_REPO"])
+from pxmcmc_tpu.parallel.mesh import init_distributed, make_mesh
+
+pid = int(os.environ["PXMCMC_PID"])
+nproc = int(os.environ["PXMCMC_NPROC"])
+if nproc > 1:
+    init_distributed(
+        coordinator_address=os.environ["PXMCMC_COORD"],
+        num_processes=nproc,
+        process_id=pid,
+    )
+    assert jax.process_count() == nproc
+
+import jax.numpy as jnp
+
+from pxmcmc_tpu.forward import SphericalWaveletTransformOperator
+from pxmcmc_tpu.mcmc import MYULA, PxMCMCParams
+from pxmcmc_tpu.prior import S2_Wavelets_L1
+
+L, B, J_min = 16, 2.0, 1
+rng = np.random.default_rng(42)
+data = rng.standard_normal(L * (2 * L - 1))
+fwd = SphericalWaveletTransformOperator(data, 0.1, "synthesis", L, B, J_min)
+params = PxMCMCParams(
+    nsamples=8, nburn=2, ngap=2, verbosity=0, lmda=1e-5, delta=1e-6,
+    nchains=8, track=["logposterior", "L2", "prior", "chain", "summary", "map"],
+)
+prior = S2_Wavelets_L1(
+    "synthesis", fwd.transform.inverse, fwd.transform.inverse_adjoint,
+    params.lmda, L=L, B=B, J_min=J_min,
+)
+mesh = make_mesh()
+outdir = os.environ["PXMCMC_OUT"]
+
+ck = os.path.join(outdir, "ck.npz")
+if os.environ.get("PXMCMC_TWO_PHASE") == "1":
+    # phase A: run the first 4 samples, checkpoint, exit; phase B resumes
+    first = MYULA(fwd, prior, params)
+    first.nsamples = 4
+    first.run(mesh=mesh, checkpoint_path=ck, superblock=2, checkpoint_every=2)
+    # resume to the full length with a fresh sampler object
+    mcmc = MYULA(fwd, prior, params)
+    mcmc.run(mesh=mesh, checkpoint_path=ck, superblock=2, checkpoint_every=2)
+else:
+    mcmc = MYULA(fwd, prior, params)
+    mcmc.run(mesh=mesh, superblock=2)
+
+np.savez(
+    os.path.join(outdir, f"out_p{pid}.npz"),
+    logPi=mcmc.logPi,
+    chain=mcmc.chain,
+    posterior_mean=mcmc.posterior_mean,
+    ci_range=mcmc.ci_range,
+    map_X=mcmc.MAP_X,
+    map_logpi=mcmc.MAP_logpi,
+    chain_lo=(mcmc._chain_slice.start if mcmc._chain_slice else 0),
+)
+print(f"MULTIHOST_RUN_OK pid={pid}")
+"""
+
+
+def _spawn_run(tmp_path, nproc, two_phase=False, tag=""):
+    repo = os.path.abspath(os.path.join(os.path.dirname(__file__), os.pardir))
+    outdir = str(tmp_path / f"out{tag}")
+    os.makedirs(outdir, exist_ok=True)
+    coord = f"127.0.0.1:{_free_port()}"
+    procs = []
+    for pid in range(nproc):
+        env = dict(
+            os.environ,
+            JAX_PLATFORMS="cpu",
+            PXMCMC_PLATFORM="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count="
+            + str(4 // nproc),
+            PXMCMC_REPO=repo,
+            PXMCMC_PID=str(pid),
+            PXMCMC_NPROC=str(nproc),
+            PXMCMC_COORD=coord,
+            PXMCMC_OUT=outdir,
+            PXMCMC_TWO_PHASE="1" if two_phase else "0",
+            PXMCMC_COMPILATION_CACHE="0",
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-c", _RUN_WORKER],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+                env=env, cwd=repo,
+            )
+        )
+    outs = []
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=600)
+            outs.append((p.returncode, out, err))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for rc, out, err in outs:
+        if rc != 0 and ("UNIMPLEMENTED" in err or "not supported" in err.lower()):
+            pytest.skip(f"jax.distributed unsupported: {err[-200:]}")
+        assert rc == 0, f"worker failed:\nstdout:{out}\nstderr:{err[-3000:]}"
+        assert "MULTIHOST_RUN_OK" in out
+    return outdir
+
+
+def test_two_process_full_run_matches_single_process(tmp_path):
+    """A full 2-process run() (records, summary, MAP) over a 4-device global
+    mesh equals the single-process 4-device run: per-chain tracking rows
+    partition exactly, and the pooled posterior summary / MAP agree."""
+    import numpy as np
+
+    d2 = _spawn_run(tmp_path, nproc=2, tag="2p")
+    d1 = _spawn_run(tmp_path, nproc=1, tag="1p")
+
+    ref = np.load(os.path.join(d1, "out_p0.npz"))
+    parts = [np.load(os.path.join(d2, f"out_p{pid}.npz")) for pid in (0, 1)]
+    # tracking rows partition the global chain axis contiguously
+    lo = [int(p["chain_lo"]) for p in parts]
+    order = np.argsort(lo)
+    logPi2 = np.concatenate([parts[i]["logPi"] for i in order], axis=1)
+    chain2 = np.concatenate([parts[i]["chain"] for i in order], axis=1)
+    np.testing.assert_array_equal(logPi2, ref["logPi"])
+    np.testing.assert_array_equal(chain2, ref["chain"])
+    # pooled posterior summary: same fold, sharded reduction order may
+    # differ by float association only
+    np.testing.assert_allclose(
+        parts[0]["posterior_mean"], ref["posterior_mean"], rtol=1e-12, atol=1e-14
+    )
+    np.testing.assert_allclose(
+        parts[0]["ci_range"], ref["ci_range"], rtol=1e-12, atol=1e-14
+    )
+    np.testing.assert_allclose(
+        parts[0]["map_X"], ref["map_X"], rtol=1e-12, atol=1e-14
+    )
+    # both processes agree on the replicated summary
+    np.testing.assert_array_equal(
+        parts[0]["posterior_mean"], parts[1]["posterior_mean"]
+    )
+
+
+def test_two_process_checkpoint_resume_matches_uninterrupted(tmp_path):
+    """2-process run with a mid-run checkpoint + resume in fresh processes
+    reproduces the uninterrupted 2-process run exactly."""
+    import numpy as np
+
+    d_int = _spawn_run(tmp_path, nproc=2, two_phase=True, tag="ck")
+    d_unint = _spawn_run(tmp_path, nproc=2, tag="ref")
+    for pid in (0, 1):
+        a = np.load(os.path.join(d_int, f"out_p{pid}.npz"))
+        b = np.load(os.path.join(d_unint, f"out_p{pid}.npz"))
+        np.testing.assert_array_equal(a["chain"], b["chain"])
+        np.testing.assert_array_equal(a["logPi"], b["logPi"])
+        np.testing.assert_allclose(
+            a["posterior_mean"], b["posterior_mean"], rtol=1e-12, atol=1e-14
+        )

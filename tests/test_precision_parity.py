@@ -76,3 +76,36 @@ def test_f32_f64_posterior_parity(tmp_path):
     # credible-interval widths agree on average
     ratio = np.median(ci32) / np.median(ci64)
     assert 0.8 < ratio < 1.25, ratio
+
+
+def _run_env(extra_env, out):
+    code = _SCRIPT.format(repo=REPO, x64=False, out=out)
+    env = dict(os.environ, PXMCMC_PLATFORM="cpu", **extra_env)
+    r = subprocess.run([sys.executable, "-c", code], env=env,
+                       capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    with np.load(out) as z:
+        return z["mean"], z["ci"]
+
+
+def test_f32_bf16_storage_posterior_parity(tmp_path):
+    """CI-parity gate for the bf16-storage fast path (PXMCMC_MATMUL_PRECISION
+    =bfloat16 / PXMCMC_PALLAS_DTYPE=bfloat16 + fused Pallas gradient): the
+    posterior mean and credible-interval widths match the f32 chain within
+    Monte-Carlo tolerance.  This is the gate that justifies the bench's
+    throughput-first bf16 configuration (BENCH.md round 5)."""
+    mean32, ci32 = _run_env({}, os.path.join(str(tmp_path), "a.npz"))
+    mean16, ci16 = _run_env(
+        {
+            "PXMCMC_PALLAS_DTYPE": "bfloat16",
+            "PXMCMC_GRAM_PALLAS": "1",
+            "PXMCMC_PALLAS_BIG_MIN": "8",
+        },
+        os.path.join(str(tmp_path), "b.npz"),
+    )
+    scale = np.abs(mean32).max()
+    assert np.abs(mean32 - mean16).max() / scale < 0.05, (
+        np.abs(mean32 - mean16).max() / scale
+    )
+    ratio = np.median(ci16) / np.median(ci32)
+    assert 0.8 < ratio < 1.25, ratio
