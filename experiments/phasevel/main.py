@@ -72,12 +72,53 @@ def synthetic_dataset(L, npaths=500, seed=11):
     return start, stop, data, sig_d, np.zeros(npaths), nsim, vel
 
 
+def gdm40_dataset(truth_path, L, npaths=3000, seed=11):
+    """Path-averaged data synthesised from the real GDM40 phase-velocity map.
+
+    Mirrors the reference's replication protocol (the shipped
+    ``synthetic_GDM40_0S254_L28.txt`` is path data generated from
+    ``GDM40_L28.npy``, loaded as the truth at
+    ``/root/reference/experiments/phasevel/plot.py:79``): great-circle
+    station pairs, path-averaged values of the truth map through the same
+    path operator used in the inversion, Gaussian errors, and an n-similar
+    count for the ``--nsim`` weighting (``main.py:130-139``).
+    """
+    rng = np.random.default_rng(seed)
+    truth = np.load(truth_path).reshape(-1)  # (L, 2L-1) MW map
+    start = np.stack(
+        [rng.uniform(-85, 85, npaths), rng.uniform(-180, 180, npaths)], 1
+    )
+    stop = np.stack(
+        [rng.uniform(-85, 85, npaths), rng.uniform(-180, 180, npaths)], 1
+    )
+    A = build_path_matrix(start, stop, L)
+    sig_d = np.full(npaths, 0.05 * np.abs(truth).mean())
+    data = A @ truth + rng.normal(0, sig_d)
+    # duplicate measurements on similar paths, as in the real catalogue
+    nsim = rng.integers(1, 5, npaths).astype(float)
+    return start, stop, data, sig_d, np.zeros(npaths), nsim, truth
+
+
+#: the reference's committed GDM40 truth map (Marignier et al. 2023)
+GDM40_PATH = os.environ.get(
+    "PXMCMC_GDM40", "/root/reference/experiments/phasevel/GDM40_L28.npy"
+)
+
+
 def main(args):
     L, B, J_min = args.L, 2, 2
     setting = args.setting
 
     if os.path.exists(args.infile):
         start, stop, data, sig_d, _, nsim = read_datafile(args.infile)
+    elif L == 28 and os.path.exists(GDM40_PATH):
+        print(f"[gdm40] {args.infile} not found; synthesising path data "
+              f"from the real GDM40 truth map {GDM40_PATH}")
+        start, stop, data, sig_d, _, nsim, vel_truth = gdm40_dataset(
+            GDM40_PATH, L
+        )
+        os.makedirs(args.outdir, exist_ok=True)
+        np.save(os.path.join(args.outdir, f"vel_truth_L{L}.npy"), vel_truth)
     else:
         print(f"[synthetic] {args.infile} not found; generating synthetic paths")
         start, stop, data, sig_d, _, nsim, vel_truth = synthetic_dataset(L)
