@@ -45,7 +45,13 @@ _DEFAULT_CHAINS = {"directional": 128}
 NCHAINS = int(
     os.environ.get("PXMCMC_BENCH_CHAINS", _DEFAULT_CHAINS.get(CONFIG, 256))
 )
-BASELINE_CACHE = os.path.join(REPO, ".cache", f"bench_baseline_{CONFIG}.json")
+_NESS = int(os.environ.get("PXMCMC_BENCH_ESS_ITERS", 128))
+BASELINE_CACHE = os.path.join(
+    REPO, ".cache",
+    f"bench_baseline_{CONFIG}.json"
+    if _NESS == 128
+    else f"bench_baseline_{CONFIG}_ess{_NESS}.json",
+)
 
 # Throughput-first precision default for the flagship (Gram fast-path)
 # config: bf16 storage for the gradient pipeline's big intermediates +
@@ -262,6 +268,14 @@ def measure(L, nchains, niter, nrep=3):
         )
         Lf = float(power_j(captures, v0))
         delta_ess = 1.0 / (Lf + 1.0 / sampler.lmda)
+        if CONFIG == "skrock":
+            # SK-ROCK's point (Pereyra/Vargas-Mieles/Zygalakis 2020) is a
+            # stability region growing ~ s^2: delta_max = l_s/L with
+            # l_s = (2 - 4 eta/3)(s - 1/2)^2 (damped Chebyshev interval),
+            # ~174x the ULA bound at s=10.  Benching it at the ULA step
+            # (round-4) undersold the algorithm by that factor.
+            l_s = (2.0 - 4.0 * sampler.eta / 3.0) * (sampler.s - 0.5) ** 2
+            delta_ess = l_s / (Lf + 1.0 / sampler.lmda)
         log(f"measured fidelity Lipschitz {Lf:.3e} -> tuned delta {delta_ess:.3e}")
         sampler.delta = float(delta_ess)
         # restart from the initial state: the throughput phase runs at the
@@ -306,9 +320,9 @@ def measure(L, nchains, niter, nrep=3):
             for x, idx in zip(X, pyr_idx):
                 if idx.size == 0:
                     continue
-                if x.ndim >= 3:  # grid blocks (..., theta, phi): 2-D gather
-                    p = x.shape[-1]
-                    parts.append(x[..., idx // p, idx % p])
+                if x.ndim >= 3:  # grid blocks: unravel over the coef axes
+                    locs = jnp.unravel_index(idx, x.shape[1:])
+                    parts.append(x[(Ellipsis,) + locs])
                 else:
                     parts.append(x[..., idx])
             return jnp.concatenate(parts, axis=-1)

@@ -64,6 +64,53 @@ def _summary_from_payload(z):
     return root
 
 
+class AsyncCheckpointer:
+    """Write checkpoints off the sampling loop's critical path.
+
+    ``submit`` snapshots nothing eagerly: device arrays are immutable
+    (functional updates make new arrays) and the host tracking buffers are
+    append-only in ``[:j]`` (``_store_tracking`` writes strictly increasing
+    row ranges), so holding references is a consistent snapshot.  The
+    single worker thread then does the device->host fetch, the npz write,
+    the fsync and the atomic rename — all overlapped with the next
+    superblocks.  One outstanding write at a time (``submit`` joins the
+    previous one first, which also surfaces its errors);
+    call :meth:`wait` before finishing the run.  SURVEY.md §2b
+    checkpoint/fault-tolerance row; the reference has no checkpointing at
+    all (one save post-run, ``/root/reference/pxmcmc/saving.py:5-36``).
+    ``PXMCMC_CHECKPOINT_SYNC=1`` reverts to in-loop writes.
+    """
+
+    def __init__(self):
+        self._executor = None
+        self._future = None
+
+    @property
+    def _sync(self) -> bool:
+        return os.environ.get("PXMCMC_CHECKPOINT_SYNC", "0") == "1"
+
+    def submit(self, path, state, key, j, tracking, summary=None):
+        if self._sync:
+            save_checkpoint(path, state, key, j, tracking, summary)
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        if self._executor is None:
+            self._executor = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="pxmcmc-ckpt"
+            )
+        self.wait()
+        self._future = self._executor.submit(
+            save_checkpoint, path, state, key, j, tracking, summary
+        )
+
+    def wait(self):
+        """Join the outstanding write (re-raising any write error)."""
+        if self._future is not None:
+            fut, self._future = self._future, None
+            fut.result()
+
+
 def save_checkpoint(path, state, key, j, tracking: dict, summary=None):
     """Atomically write a checkpoint npz."""
     parent = os.path.dirname(os.path.abspath(path))

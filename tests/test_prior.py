@@ -114,7 +114,9 @@ def test_directional_myula_end_to_end(rng):
                            params.lmda * params.mu, L=L, B=B, J_min=J_min,
                            dirs=dirs)
     m = MYULA(fwd, prior, params)
-    assert not m._gram_ok()  # directional transform: general path
+    # round 5: directional transforms take the stacked-real Gram fast path
+    # (ops/dirgram.py) — tested equal to the complex chain
+    assert m._gram_ok()
     m.run()
     assert np.isfinite(m.logPi).all()
     assert m.chain.shape == (10, 2, fwd.nparams)

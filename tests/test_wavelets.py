@@ -328,3 +328,38 @@ def test_gram_gradient_grid_equals_pixel_chain(rng):
         wavelets.synthesis_adjoint(wavelets.synthesis(jnp.asarray(X), wb), wb)
     )
     np.testing.assert_allclose(got, pix, atol=1e-10)
+
+
+def test_dir_gram_gradient_matches_complex_chain(rng):
+    """Stacked-real directional Gram gradient (ops/dirgram.py) equals
+    synthesis_dir_adjoint(synthesis_dir(X)) for real X, for odd and even
+    dirs, in both flat and grid-block forms."""
+    from pxmcmc_tpu.ops import sht
+    from pxmcmc_tpu.ops.dirgram import (
+        build_dir_gram_tables,
+        dir_gram_gradient,
+        dir_gram_gradient_blocks,
+    )
+
+    for L, dirs in ((24, 3), (20, 2)):
+        dwb = wavelets.get_directional_basis(L, 1.5, 2, dirs)
+        t = build_dir_gram_tables(dwb, sht.get_gram(L, 0))
+        X = jnp.asarray(
+            rng.standard_normal((2, dwb.ncoefs)), dtype=jnp.float32
+        )
+        ref = np.asarray(
+            wavelets.synthesis_dir_adjoint(wavelets.synthesis_dir(X, dwb), dwb)
+        )
+        out = np.asarray(dir_gram_gradient(X, dwb, t))
+        assert np.abs(ref - out).max() <= 1e-5 * np.abs(ref).max()
+
+        G = 2 * dirs - 1
+        bls = [int(b) for b in dwb.bandlimits]
+        blocks = wavelets._split_dir(X, dwb)
+        gb = [blocks[0].reshape(2, bls[0], 2 * bls[0] - 1)] + [
+            b.reshape(2, G, bl, 2 * bl - 1)
+            for b, bl in zip(blocks[1:], bls[1:])
+        ]
+        ob = dir_gram_gradient_blocks(tuple(gb), dwb, t)
+        flat = np.concatenate([np.asarray(o).reshape(2, -1) for o in ob], axis=-1)
+        assert np.abs(ref - flat).max() <= 1e-5 * np.abs(ref).max()
